@@ -1,0 +1,21 @@
+"""NeuralGaussianSplatting-TPU: a TPU-native 3D Gaussian Splatting framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of
+Augustine-2049/NeuralGaussianSplatting (an Inria-3DGS fork with an additional
+neural-feature pipeline). The compute path is JAX + Pallas TPU kernels; scaling
+is expressed with `jax.sharding` meshes instead of per-process CUDA state.
+
+Subpackages
+-----------
+- ``ops``       core differentiable ops: SH, covariance, projection, tile
+                binning, the tile rasterizer (XLA + Pallas paths), the
+                per-pixel z-buffer ("idxmap") op of the neural pipeline.
+- ``models``    the Gaussian point-cloud model (a pytree of capacity-padded
+                parameter arrays) and the screen-space neural decoders.
+- ``scene``     dataset loading (COLMAP / Blender), cameras, PLY I/O.
+- ``train``     optimizers, densification, training loops.
+- ``parallel``  device-mesh construction and sharded train/render steps.
+- ``utils``     losses, metrics, image helpers.
+"""
+
+__version__ = "0.1.0"

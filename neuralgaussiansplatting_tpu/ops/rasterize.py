@@ -1,0 +1,138 @@
+"""Public differentiable rasterization API (preprocess -> bin -> blend).
+
+TPU-native counterpart of the reference ``GaussianRasterizer``
+(diff_gaussian_rasterization/__init__.py:171-218 + rasterizer_impl.cu
+``Rasterizer::forward/backward``). Differences by design:
+
+- Static shapes end to end: instance capacity and per-tile caps are settings
+  (with true counts reported for monitoring) instead of per-frame realloc.
+- Gradients come from JAX autodiff through the whole pipeline (the Pallas
+  production kernel plugs in underneath with a custom VJP of identical
+  contract); there are no atomics anywhere — per-Gaussian gradient reduction
+  is the transpose of the instance gather, which XLA emits as a deterministic
+  scatter-add.
+- Densification statistics: the reference reads ``.grad`` of a dummy
+  ``screenspace_points`` tensor scaled to half-image units
+  (backward.cu ddelx_dx = 0.5*W; scene/gaussian_model.py:550-552). Here the
+  same quantity is exposed as the gradient of the ``means2d_offset`` argument
+  (an all-zeros (N, 2) array added in NDC before the pixel mapping, so
+  d/d offset == dL/dpix * W/2 — identical scale to the reference).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from neuralgaussiansplatting_tpu.ops import binning
+from neuralgaussiansplatting_tpu.ops import blend as blend_xla
+from neuralgaussiansplatting_tpu.ops import preprocess as pp
+from neuralgaussiansplatting_tpu.ops import projection as proj
+from neuralgaussiansplatting_tpu.ops import sh as sh_ops
+from neuralgaussiansplatting_tpu.ops import transforms
+
+
+@dataclasses.dataclass(frozen=True)
+class RasterizeSettings:
+    """Static rasterizer configuration (hashable; safe as a jit static arg)."""
+
+    block_x: int = 16
+    block_y: int = 16
+    capacity: int = 1 << 18        # global instance buffer (CUDA: dynamic)
+    max_per_tile: int = 1024       # per-tile blend cap
+    chunk: int = 32                # instances blended per scan step
+    backend: str = "xla"           # "xla" | "pallas"
+    scale_modifier: float = 1.0
+
+    @property
+    def tiles(self):
+        raise AttributeError("tile counts depend on the camera; use tiles_for")
+
+    def tiles_for(self, width: int, height: int):
+        return (
+            (width + self.block_x - 1) // self.block_x,
+            (height + self.block_y - 1) // self.block_y,
+        )
+
+
+class RenderOutput(NamedTuple):
+    color: jnp.ndarray        # (3, H, W) composited image (reference layout)
+    final_t: jnp.ndarray      # (H, W)
+    n_contrib: jnp.ndarray    # (H, W) int32
+    radii: jnp.ndarray        # (N,) int32 (0 => culled); visibility = radii > 0
+    num_rendered: jnp.ndarray # () int32 true instance count (overflow monitor)
+    max_per_tile: jnp.ndarray # () int32 max true per-tile load (cap monitor)
+
+
+def rasterize(
+    means3d: jnp.ndarray,
+    scales: jnp.ndarray,
+    rotations: jnp.ndarray,
+    opacities: jnp.ndarray,
+    shs: jnp.ndarray,
+    sh_degree: int,
+    cam: pp.CameraParams,
+    bg: jnp.ndarray,
+    settings: RasterizeSettings = RasterizeSettings(),
+    means2d_offset: jnp.ndarray | None = None,
+    cov3d_precomp: jnp.ndarray | None = None,
+    colors_precomp: jnp.ndarray | None = None,
+) -> RenderOutput:
+    """Differentiable render of N Gaussians for one camera.
+
+    ``opacities`` is (N,) activated; ``scales`` (N, 3) activated; ``shs``
+    (N, K, 3); ``bg`` (3,). See module docstring for ``means2d_offset``.
+    """
+    tiles_x, tiles_y = settings.tiles_for(cam.width, cam.height)
+
+    pre = pp.preprocess_gaussians(
+        means3d, scales, rotations, opacities, shs, sh_degree, cam,
+        settings.block_x, settings.block_y, settings.scale_modifier,
+        cov3d_precomp=cov3d_precomp, colors_precomp=colors_precomp,
+    )
+    if means2d_offset is not None:
+        # NDC-scale offset => pixel shift of offset * size / 2 (see docstring).
+        shift = means2d_offset * jnp.array(
+            [cam.width * 0.5, cam.height * 0.5], jnp.float32
+        )
+        pre = pre._replace(means2d=pre.means2d + shift)
+
+    inst = binning.bin_gaussians(pre, tiles_x, tiles_y, settings.capacity)
+
+    if settings.backend == "pallas":
+        from neuralgaussiansplatting_tpu.ops import blend_pallas
+        res = blend_pallas.blend_tiles(
+            inst, pre.means2d, pre.conic, pre.opacity, pre.rgb,
+            tiles_x, tiles_y, settings.block_x, settings.block_y,
+            settings.max_per_tile, settings.chunk,
+        )
+    else:
+        res = blend_xla.blend_tiles(
+            inst, pre.means2d, pre.conic, pre.opacity, pre.rgb,
+            tiles_x, tiles_y, settings.block_x, settings.block_y,
+            settings.max_per_tile, settings.chunk,
+        )
+
+    color = res.color + res.final_t[..., None] * bg[None, None, :]
+    img = blend_xla.assemble_image(
+        color, tiles_x, tiles_y, settings.block_x, settings.block_y,
+        cam.width, cam.height,
+    )
+    final_t = blend_xla.assemble_image(
+        res.final_t, tiles_x, tiles_y, settings.block_x, settings.block_y,
+        cam.width, cam.height,
+    )
+    n_contrib = blend_xla.assemble_image(
+        res.n_contrib, tiles_x, tiles_y, settings.block_x, settings.block_y,
+        cam.width, cam.height,
+    )
+    return RenderOutput(
+        color=jnp.transpose(img, (2, 0, 1)),
+        final_t=final_t,
+        n_contrib=n_contrib,
+        radii=pre.radii,
+        num_rendered=inst.num_rendered,
+        max_per_tile=jnp.max(inst.tile_count),
+    )

@@ -1,0 +1,158 @@
+"""End-to-end rasterizer tests vs the independent numpy oracle."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from neuralgaussiansplatting_tpu.ops import rasterize as rast
+from neuralgaussiansplatting_tpu.ops.preprocess import preprocess_gaussians
+from neuralgaussiansplatting_tpu.ops import binning
+
+from scenes import make_camera, random_gaussians
+import oracle
+
+
+SETTINGS = rast.RasterizeSettings(capacity=1 << 15, max_per_tile=512, chunk=16)
+
+
+def _render_both(W=40, H=24, n=200, deg=2, seed=0, bg=(0.0, 0.0, 0.0)):
+    cam = make_camera(W=W, H=H)
+    means, scales, rot, opac, shs = random_gaussians(n=n, deg=deg, seed=seed)
+    bg = np.asarray(bg, np.float32)
+
+    out = rast.rasterize(
+        jnp.asarray(means), jnp.asarray(scales), jnp.asarray(rot),
+        jnp.asarray(opac), jnp.asarray(shs), deg, cam, jnp.asarray(bg),
+        SETTINGS,
+    )
+
+    splats = oracle.preprocess_np(
+        means, scales, rot, opac, shs, deg,
+        np.asarray(cam.view), np.asarray(cam.full_proj),
+        np.asarray(cam.campos), cam.tan_fovx, cam.tan_fovy, W, H)
+    img_np, final_t_np, n_contrib_np = oracle.render_np(splats, W, H, bg)
+    return out, img_np, final_t_np, n_contrib_np
+
+
+def test_matches_oracle_black_bg():
+    out, img_np, final_t_np, n_contrib_np = _render_both()
+    got = np.transpose(np.asarray(out.color), (1, 2, 0))
+    np.testing.assert_allclose(got, img_np, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out.final_t), final_t_np, atol=2e-5)
+    assert (np.asarray(out.n_contrib) == n_contrib_np).mean() > 0.999
+
+
+def test_matches_oracle_white_bg_deg3():
+    out, img_np, _, _ = _render_both(n=120, deg=3, seed=7, bg=(1, 1, 1))
+    got = np.transpose(np.asarray(out.color), (1, 2, 0))
+    np.testing.assert_allclose(got, img_np, atol=2e-4)
+
+
+def test_dense_opaque_scene_early_stop():
+    # opacities near 1 force the T < 1e-4 stop path
+    cam = make_camera(W=32, H=32)
+    means, scales, rot, opac, shs = random_gaussians(n=400, deg=0, seed=3)
+    opac = np.full_like(opac, 0.995)
+    out = rast.rasterize(
+        jnp.asarray(means), jnp.asarray(scales), jnp.asarray(rot),
+        jnp.asarray(opac), jnp.asarray(shs), 0, cam,
+        jnp.zeros(3), SETTINGS)
+    splats = oracle.preprocess_np(
+        means, scales, rot, opac, shs, 0,
+        np.asarray(cam.view), np.asarray(cam.full_proj),
+        np.asarray(cam.campos), cam.tan_fovx, cam.tan_fovy, 32, 32)
+    img_np, final_t_np, _ = oracle.render_np(splats, 32, 32, np.zeros(3))
+    got = np.transpose(np.asarray(out.color), (1, 2, 0))
+    np.testing.assert_allclose(got, img_np, atol=3e-4)
+    np.testing.assert_allclose(np.asarray(out.final_t), final_t_np, atol=1e-5)
+
+
+def test_empty_scene_renders_background():
+    cam = make_camera(W=32, H=16)
+    n, deg = 10, 0
+    means = np.full((n, 3), 100.0, np.float32)  # far behind the camera
+    out = rast.rasterize(
+        jnp.asarray(means), jnp.full((n, 3), 0.01),
+        jnp.tile(jnp.asarray([1.0, 0, 0, 0]), (n, 1)),
+        jnp.full((n,), 0.5), jnp.zeros((n, 1, 3)), deg, cam,
+        jnp.asarray([0.2, 0.4, 0.6]), SETTINGS)
+    img = np.transpose(np.asarray(out.color), (1, 2, 0))
+    np.testing.assert_allclose(img, np.broadcast_to([0.2, 0.4, 0.6], img.shape),
+                               atol=1e-6)
+    assert np.all(np.asarray(out.radii) == 0)
+
+
+def test_binning_counts_match_rects():
+    cam = make_camera(W=40, H=24)
+    means, scales, rot, opac, shs = random_gaussians(n=150, deg=0, seed=5)
+    pre = preprocess_gaussians(
+        jnp.asarray(means), jnp.asarray(scales), jnp.asarray(rot),
+        jnp.asarray(opac), jnp.asarray(shs), 0, cam, 16, 16)
+    tiles_x, tiles_y = 3, 2
+    inst = binning.bin_gaussians(pre, tiles_x, tiles_y, 1 << 14)
+    want = int(np.asarray(pre.tiles_touched).sum())
+    assert int(inst.num_rendered) == want
+    assert int(np.asarray(inst.valid).sum()) == want
+    assert int(np.asarray(inst.tile_count).sum()) == want
+    # depths are non-decreasing within every tile
+    tile = np.asarray(inst.tile)
+    gid = np.asarray(inst.gid)
+    depths = np.asarray(pre.depths)
+    for t in range(tiles_x * tiles_y):
+        d = depths[gid[tile == t]]
+        assert np.all(np.diff(d) >= 0)
+
+
+def test_jit_and_grads_finite():
+    cam = make_camera(W=32, H=32)
+    means, scales, rot, opac, shs = random_gaussians(n=100, deg=1, seed=9)
+
+    def loss_fn(means, scales, rot, opac, shs, off):
+        out = rast.rasterize(
+            means, scales, rot, opac, shs, 1, cam, jnp.zeros(3), SETTINGS,
+            means2d_offset=off)
+        return jnp.sum(out.color ** 2)
+
+    args = (jnp.asarray(means), jnp.asarray(scales), jnp.asarray(rot),
+            jnp.asarray(opac), jnp.asarray(shs),
+            jnp.zeros((100, 2)))
+    grads = jax.jit(jax.grad(loss_fn, argnums=(0, 1, 2, 3, 4, 5)))(*args)
+    for g in grads:
+        assert np.all(np.isfinite(np.asarray(g)))
+    # the scene is visible, so gradients must be non-trivial
+    assert np.abs(np.asarray(grads[0])).max() > 0
+    assert np.abs(np.asarray(grads[5])).max() > 0  # screen-space stats grad
+
+
+def test_opacity_grad_matches_finite_difference():
+    cam = make_camera(W=24, H=24)
+    means, scales, rot, opac, shs = random_gaussians(n=40, deg=0, seed=11)
+
+    def loss_fn(o):
+        out = rast.rasterize(
+            jnp.asarray(means), jnp.asarray(scales), jnp.asarray(rot),
+            o, jnp.asarray(shs), 0, cam, jnp.zeros(3), SETTINGS)
+        return jnp.sum(out.color)
+
+    g = np.asarray(jax.grad(loss_fn)(jnp.asarray(opac)))
+    eps = 1e-3
+    rng = np.random.default_rng(0)
+    for i in rng.choice(40, 5, replace=False):
+        op = opac.copy()
+        op[i] += eps
+        up = float(loss_fn(jnp.asarray(op)))
+        op[i] -= 2 * eps
+        dn = float(loss_fn(jnp.asarray(op)))
+        fd = (up - dn) / (2 * eps)
+        np.testing.assert_allclose(g[i], fd, rtol=5e-2, atol=5e-3)
+
+
+def test_capacity_overflow_reported():
+    cam = make_camera(W=40, H=24)
+    means, scales, rot, opac, shs = random_gaussians(n=500, deg=0, seed=13)
+    small = rast.RasterizeSettings(capacity=64, max_per_tile=64, chunk=16)
+    out = rast.rasterize(
+        jnp.asarray(means), jnp.asarray(scales), jnp.asarray(rot),
+        jnp.asarray(opac), jnp.asarray(shs), 0, cam, jnp.zeros(3), small)
+    assert int(out.num_rendered) > 64  # true demand reported despite the cap
