@@ -91,6 +91,15 @@ def _pad(a: np.ndarray, capacity: int) -> np.ndarray:
     return np.pad(a, pad)
 
 
+def _pad_rotation(a: np.ndarray, capacity: int) -> np.ndarray:
+    """Pad quaternions with identity (w=1) so dead slots stay numerically
+    benign (a zero quaternion NaNs through normalization)."""
+    out = np.zeros((capacity, 4), a.dtype)
+    out[:, 0] = 1.0
+    out[: a.shape[0]] = a
+    return out
+
+
 def create_from_pcd(points: np.ndarray, colors: np.ndarray,
                     normals: np.ndarray, sh_degree: int,
                     capacity: int | None = None):
@@ -125,7 +134,7 @@ def create_from_pcd(points: np.ndarray, colors: np.ndarray,
         features_rest=jnp.asarray(_pad(features_rest, capacity)),
         features=jnp.asarray(np.zeros((capacity, NUM_NEURAL_FEATURES), np.float32)),
         scaling=jnp.asarray(_pad(scales.astype(np.float32), capacity)),
-        rotation=jnp.asarray(_pad(rots, capacity)),
+        rotation=jnp.asarray(_pad_rotation(rots, capacity)),
         opacity=jnp.asarray(_pad(opacities.astype(np.float32), capacity)),
     )
     state = GaussianState(
@@ -209,7 +218,7 @@ def load_ply(path: str, capacity: int | None = None):
         features_rest=jnp.asarray(_pad(f_rest.astype(np.float32), capacity)),
         features=jnp.asarray(_pad(feats.astype(np.float32), capacity)),
         scaling=jnp.asarray(_pad(scaling.astype(np.float32), capacity)),
-        rotation=jnp.asarray(_pad(rotation.astype(np.float32), capacity)),
+        rotation=jnp.asarray(_pad_rotation(rotation.astype(np.float32), capacity)),
         opacity=jnp.asarray(_pad(opacity.astype(np.float32), capacity)),
     )
     state = GaussianState(

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from neuralgaussiansplatting_tpu.ops import projection as proj
@@ -22,21 +23,45 @@ from neuralgaussiansplatting_tpu.ops import sh as sh_ops
 from neuralgaussiansplatting_tpu.ops import transforms
 
 
-class CameraParams(NamedTuple):
-    """Static-shape camera bundle passed into jitted render fns.
+@jax.tree_util.register_pytree_node_class
+class CameraParams:
+    """Camera bundle passed into jitted render fns.
 
     ``view`` and ``full_proj`` are (4, 4) applied as ``M @ p`` (see
     ops/projection.py for the convention note vs the reference's transposed
-    storage). ``campos`` is the world-space camera center.
+    storage); ``campos`` is the world-space camera center. These three are
+    pytree leaves (dynamic — switching cameras does not retrigger
+    compilation), while ``tan_fov*``/``width``/``height`` are static aux data
+    (shapes and tile grids depend on them).
     """
 
-    view: jnp.ndarray        # (4, 4) world -> view
-    full_proj: jnp.ndarray   # (4, 4) world -> clip (proj @ view)
-    campos: jnp.ndarray      # (3,)
-    tan_fovx: float
-    tan_fovy: float
-    width: int
-    height: int
+    __slots__ = ("view", "full_proj", "campos", "tan_fovx", "tan_fovy",
+                 "width", "height")
+
+    def __init__(self, view, full_proj, campos, tan_fovx, tan_fovy,
+                 width, height):
+        self.view = view
+        self.full_proj = full_proj
+        self.campos = campos
+        self.tan_fovx = float(tan_fovx)
+        self.tan_fovy = float(tan_fovy)
+        self.width = int(width)
+        self.height = int(height)
+
+    def tree_flatten(self):
+        return ((self.view, self.full_proj, self.campos),
+                (self.tan_fovx, self.tan_fovy, self.width, self.height))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = object.__new__(cls)
+        obj.view, obj.full_proj, obj.campos = children
+        obj.tan_fovx, obj.tan_fovy, obj.width, obj.height = aux
+        return obj
+
+    def __repr__(self):
+        return (f"CameraParams({self.width}x{self.height}, "
+                f"tan_fov=({self.tan_fovx:.4f},{self.tan_fovy:.4f}))")
 
 
 class Preprocessed(NamedTuple):

@@ -19,7 +19,6 @@ import numpy as np
 from neuralgaussiansplatting_tpu.ops import projection as proj
 from neuralgaussiansplatting_tpu.scene import dataset_readers as readers
 from neuralgaussiansplatting_tpu.scene import loader
-from neuralgaussiansplatting_tpu.models.gaussians import GaussianModel
 
 
 def search_for_max_iteration(folder):
@@ -49,7 +48,7 @@ def camera_to_json(uid, camera):
 
 class Scene:
     def __init__(self, source_path: str, model_path: str,
-                 gaussians: GaussianModel, images: str = "images",
+                 gaussians, images: str = "images",
                  resolution: int = -1, white_background: bool = False,
                  eval_split: bool = False, load_iteration: int | None = None,
                  shuffle: bool = True, resolution_scales=(1.0,),

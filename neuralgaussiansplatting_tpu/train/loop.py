@@ -1,0 +1,222 @@
+"""Classic 3DGS training loop (reference train.py:31-132, TPU-native).
+
+The per-iteration hot path (render -> loss -> backward -> Adam) is one jitted
+``train_step`` over static-shape pytrees; density control is a second jitted
+function invoked on the reference schedule. Host code only picks cameras,
+advances the SH warmup counter, and handles I/O — there are no host<->device
+syncs inside the step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+import pickle
+import time
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from neuralgaussiansplatting_tpu.gaussian_renderer import render
+from neuralgaussiansplatting_tpu.models import gaussians as gm
+from neuralgaussiansplatting_tpu.ops import rasterize as rast
+from neuralgaussiansplatting_tpu.train import densify as dens
+from neuralgaussiansplatting_tpu.train import optim
+from neuralgaussiansplatting_tpu.utils import losses
+
+
+class TrainState(NamedTuple):
+    params: gm.GaussianParams
+    gstate: gm.GaussianState
+    opt_state: Any
+    step: jnp.ndarray
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tx", "sh_degree", "settings", "lambda_dssim"))
+def train_step(ts: TrainState, cam, gt, bg, *, tx, sh_degree, settings,
+               lambda_dssim):
+    """One fused render+loss+grad+Adam+stats step."""
+    n = ts.params.xyz.shape[0]
+
+    def loss_fn(params, off):
+        out = render(cam, params, ts.gstate.alive, sh_degree, bg, settings,
+                     means2d_offset=off)
+        loss = losses.photometric_loss(out["render"], gt, lambda_dssim)
+        return loss, out
+
+    (loss, out), (gparams, goff) = jax.value_and_grad(
+        loss_fn, argnums=(0, 1), has_aux=True)(
+            ts.params, jnp.zeros((n, 2), jnp.float32))
+
+    # Dead (padding) slots carry no loss signal but can produce NaN gradients
+    # through their degenerate parameters; freeze them hard so Adam never
+    # moves a slot until densification writes it.
+    alive = ts.gstate.alive
+    gparams = jax.tree_util.tree_map(
+        lambda g: jnp.where(alive.reshape((n,) + (1,) * (g.ndim - 1)), g, 0.0),
+        gparams)
+
+    updates, opt_state = tx.update(gparams, ts.opt_state, ts.params)
+    params = optax.apply_updates(ts.params, updates)
+    gstate = dens.add_densification_stats(ts.gstate, out["radii"], goff)
+
+    metrics = {
+        "loss": loss,
+        "psnr": losses.psnr(jnp.clip(out["render"], 0, 1), gt),
+        "num_rendered": out["num_rendered"],
+        "max_per_tile": out["max_per_tile"],
+        "radii_max": jnp.max(out["radii"]),
+    }
+    return TrainState(params, gstate, opt_state, ts.step + 1), metrics
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "use_size_prune"))
+def densify_step(ts: TrainState, key, extent, *, cfg: optim.OptimizationParams,
+                 use_size_prune: bool):
+    params, gstate, opt_state, report = dens.densify_and_prune(
+        ts.params, ts.gstate, ts.opt_state, key,
+        cfg.densify_grad_threshold, 0.005, extent, use_size_prune,
+        cfg.percent_dense)
+    return TrainState(params, gstate, opt_state, ts.step), report
+
+
+@jax.jit
+def reset_opacity_step(ts: TrainState):
+    params, opt_state = dens.reset_opacity(ts.params, ts.opt_state)
+    return TrainState(params, ts.gstate, opt_state, ts.step)
+
+
+@dataclasses.dataclass
+class Trainer:
+    """Host-side orchestration mirroring reference training() (train.py:31-132)."""
+
+    gaussians: gm.GaussianModel
+    opt: optim.OptimizationParams = optim.OptimizationParams()
+    settings: rast.RasterizeSettings = rast.RasterizeSettings()
+    white_background: bool = False
+    cameras_extent: float = 1.0
+    seed: int = 0
+
+    def __post_init__(self):
+        self.tx = optim.make_optimizer(self.opt, self.gaussians.spatial_lr_scale)
+        self.ts = TrainState(
+            params=self.gaussians.params,
+            gstate=self.gaussians.state,
+            opt_state=self.tx.init(self.gaussians.params),
+            step=jnp.asarray(0),
+        )
+        self.key = jax.random.PRNGKey(self.seed)
+        self.bg = jnp.asarray(
+            [1.0, 1.0, 1.0] if self.white_background else [0.0, 0.0, 0.0])
+
+    def sync_model(self):
+        """Reflect device state back into the GaussianModel wrapper."""
+        self.gaussians.params = self.ts.params
+        self.gaussians.state = self.ts.gstate
+
+    def step(self, cam, gt_image, iteration: int):
+        """One training iteration given a camera + GT; handles the reference
+        schedule (SH warmup, densify window, opacity reset)."""
+        # SH degree warmup every 1000 iterations (train.py:72-73)
+        if iteration % 1000 == 0:
+            self.gaussians.oneup_sh_degree()
+
+        if self.opt.random_background:
+            self.key, sub = jax.random.split(self.key)
+            bg = jax.random.uniform(sub, (3,))
+        else:
+            bg = self.bg
+
+        self.ts, metrics = train_step(
+            self.ts, cam, gt_image, bg, tx=self.tx,
+            sh_degree=self.gaussians.active_sh_degree,
+            settings=self.settings, lambda_dssim=self.opt.lambda_dssim)
+
+        # densification window (train.py:112-123)
+        if iteration < self.opt.densify_until_iter:
+            if (iteration > self.opt.densify_from_iter
+                    and iteration % self.opt.densification_interval == 0):
+                self.key, sub = jax.random.split(self.key)
+                use_size = iteration > self.opt.opacity_reset_interval
+                self.ts, report = densify_step(
+                    self.ts, sub, jnp.asarray(self.cameras_extent),
+                    cfg=self.opt, use_size_prune=use_size)
+                metrics["densify"] = report
+            if iteration % self.opt.opacity_reset_interval == 0 or (
+                    self.white_background
+                    and iteration == self.opt.densify_from_iter):
+                self.ts = reset_opacity_step(self.ts)
+        return metrics
+
+    # ---- checkpointing (reference capture/restore, gaussian_model.py:75-111)
+    def save_checkpoint(self, path: str, iteration: int):
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        payload = {
+            "iteration": iteration,
+            "active_sh_degree": self.gaussians.active_sh_degree,
+            "spatial_lr_scale": self.gaussians.spatial_lr_scale,
+            "params": jax.tree_util.tree_map(np.asarray, self.ts.params),
+            "gstate": jax.tree_util.tree_map(np.asarray, self.ts.gstate),
+            "opt_state": jax.tree_util.tree_map(np.asarray, self.ts.opt_state),
+        }
+        with open(path, "wb") as f:
+            pickle.dump(payload, f)
+
+    def restore_checkpoint(self, path: str) -> int:
+        with open(path, "rb") as f:
+            payload = pickle.load(f)
+        self.gaussians.active_sh_degree = payload["active_sh_degree"]
+        self.gaussians.spatial_lr_scale = payload["spatial_lr_scale"]
+        to_dev = functools.partial(jax.tree_util.tree_map, jnp.asarray)
+        self.ts = TrainState(
+            params=gm.GaussianParams(*to_dev(tuple(payload["params"]))),
+            gstate=gm.GaussianState(*to_dev(tuple(payload["gstate"]))),
+            opt_state=jax.tree_util.tree_map(jnp.asarray, payload["opt_state"]),
+            step=jnp.asarray(payload["iteration"]),
+        )
+        self.sync_model()
+        return payload["iteration"]
+
+
+def training(scene, trainer: Trainer, iterations: int,
+             save_iterations=(), checkpoint_iterations=(),
+             log_every: int = 100, progress=None):
+    """Full loop over a Scene (reference training(), train.py:31-132)."""
+    rng = np.random.default_rng(trainer.seed)
+    cam_params = None
+    stack = []
+    history = []
+    t0 = time.time()
+    for iteration in range(1, iterations + 1):
+        if not stack:
+            stack = list(rng.permutation(len(scene.get_train_cameras())))
+        cam = scene.get_train_cameras()[stack.pop()]
+        if cam_params is None:
+            cam_params = {}
+        cp = cam_params.setdefault(cam.uid, cam.params())
+        gt = jnp.asarray(cam.image)
+
+        metrics = trainer.step(cp, gt, iteration)
+        if iteration % log_every == 0 or iteration == iterations:
+            m = {k: float(v) for k, v in metrics.items() if k != "densify"}
+            m["iter"] = iteration
+            m["elapsed"] = time.time() - t0
+            m["alive"] = int(jnp.sum(trainer.ts.gstate.alive))
+            history.append(m)
+            if progress:
+                progress(m)
+        if iteration in save_iterations:
+            trainer.sync_model()
+            scene.save(iteration)
+        if iteration in checkpoint_iterations:
+            trainer.save_checkpoint(
+                os.path.join(scene.model_path, f"chkpnt{iteration}.ckpt"),
+                iteration)
+    trainer.sync_model()
+    return history
