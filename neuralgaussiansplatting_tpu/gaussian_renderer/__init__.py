@@ -15,6 +15,8 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from neuralgaussiansplatting_tpu.models import gaussians as gm
+from neuralgaussiansplatting_tpu.models import nets
+from neuralgaussiansplatting_tpu.ops import idxmap as idxmap_ops
 from neuralgaussiansplatting_tpu.ops import rasterize as rast
 from neuralgaussiansplatting_tpu.ops.preprocess import CameraParams
 
@@ -61,4 +63,96 @@ def render(
         "n_contrib": out.n_contrib,
         "num_rendered": out.num_rendered,
         "max_per_tile": out.max_per_tile,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Neural-feature render paths (the fork's render1/render2/render3)
+# ---------------------------------------------------------------------------
+
+def init_decoders(key):
+    """Initialize all screen-space decoder parameters (reference
+    ``GaussianModel._init_networks``, scene/gaussian_model.py:185-196).
+
+    Returns a dict pytree {mlp, unet, cnn, pure_cnn} of Flax variables; the
+    Denoiser is parameter-free (models/nets.py:denoise).
+    """
+    import jax
+
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    dummy = jnp.zeros((16, 16, idxmap_ops.NUM_FEATURES), jnp.float32)
+    return {
+        "mlp": nets.FeatureToRGBMLP().init(k1, dummy),
+        "unet": nets.UNet().init(k2, dummy),
+        "cnn": nets.CNN().init(k3, dummy),
+        "pure_cnn": nets.PureCNN().init(k4, dummy),
+    }
+
+
+def _idx_common(cam, params, capacity):
+    maps = idxmap_ops.render_idxmaps(
+        params.xyz, params.features, cam, capacity)
+    return maps
+
+
+def render1(cam: CameraParams, params: gm.GaussianParams, net_params,
+            capacity: int = 1 << 21):
+    """idxmap -> per-pixel MLP decode (reference render1, :104-210).
+
+    Returns the reference's keys; ``radii`` is the all-ones placeholder and
+    visibility comes from idxmap>0 exactly as the reference does (:189-192).
+    """
+    maps = _idx_common(cam, params, capacity)
+    mlp_out = nets.FeatureToRGBMLP().apply(net_params["mlp"], maps.featuremap)
+    return {
+        "render": jnp.transpose(mlp_out, (2, 0, 1)),
+        "idxmap": maps.idxmap,
+        "colmap": maps.colmap,
+        "depthmap": maps.depthmap,
+        "featuremap": maps.featuremap,
+        "visibility_filter": maps.idxmap > 0,
+        "radii": jnp.ones(params.xyz.shape[0], jnp.int32),
+    }
+
+
+def render2(cam: CameraParams, params: gm.GaussianParams, net_params,
+            capacity: int = 1 << 21):
+    """idxmap -> UNet RGB + CNN dynamic 9x9 kernels -> Denoiser
+    (reference render2, :214-323)."""
+    maps = _idx_common(cam, params, capacity)
+    denoiser_kernels = nets.CNN().apply(net_params["cnn"], maps.featuremap)
+    unet_output = nets.UNet().apply(net_params["unet"], maps.featuremap)
+    final = nets.denoise(unet_output, denoiser_kernels)
+    return {
+        "render": jnp.transpose(final, (2, 0, 1)),
+        "render1": jnp.transpose(unet_output, (2, 0, 1)),
+        "idxmap": maps.idxmap,
+        "colmap": maps.colmap,
+        "depthmap": maps.depthmap,
+        "featuremap": maps.featuremap,
+        "denoiser": denoiser_kernels,
+        "visibility_filter": maps.idxmap > 0,
+        "radii": jnp.ones(params.xyz.shape[0], jnp.int32),
+    }
+
+
+def render3(cam: CameraParams, params: gm.GaussianParams, net_params,
+            capacity: int = 1 << 21):
+    """idxmap -> MLP aggregation + CNN kernels -> Denoiser
+    (reference render3, :326-434)."""
+    maps = _idx_common(cam, params, capacity)
+    aggregation = nets.FeatureToRGBMLP().apply(net_params["mlp"],
+                                               maps.featuremap)
+    denoiser_kernels = nets.CNN().apply(net_params["cnn"], maps.featuremap)
+    final = nets.denoise(aggregation, denoiser_kernels)
+    return {
+        "render": jnp.transpose(final, (2, 0, 1)),
+        "aggregation": aggregation,
+        "idxmap": maps.idxmap,
+        "colmap": maps.colmap,
+        "depthmap": maps.depthmap,
+        "featuremap": maps.featuremap,
+        "denoiser": denoiser_kernels,
+        "visibility_filter": maps.idxmap > 0,
+        "radii": jnp.ones(params.xyz.shape[0], jnp.int32),
     }

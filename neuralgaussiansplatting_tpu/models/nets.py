@@ -1,0 +1,161 @@
+"""Screen-space neural decoders (Flax) for the neural-feature pipeline.
+
+Behavioral parity target: reference utils/net_utils.py —
+``FeatureToRGBMLP`` (:5-31), ``DoubleConv`` (:33-53), ``UNet`` (:55-92),
+``SmallUNet`` (:94-124), ``CNN`` (:136-166, the 81-channel dynamic-kernel
+predictor with its middle layers commented out upstream), ``PureCNN``
+(:168-198) and the unfold-based dynamic-filter ``Denoiser`` (:201-228).
+
+All modules take a single (H, W, C) image (the reference constraint) in NHWC;
+convolutions run on the MXU. Weight init is Kaiming-normal (fan_in) with zero
+bias, matching ``nn.init.kaiming_normal_`` defaults (fan_in, ReLU gain).
+The Denoiser's ``F.unfold`` + per-pixel 9x9 weighted sum becomes
+``conv_general_dilated_patches`` + an einsum — one fused contraction on TPU.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+# torch kaiming_normal_ default: fan_in mode, gain sqrt(2) (leaky_relu a=0)
+kaiming = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
+
+
+class FeatureToRGBMLP(nn.Module):
+    hidden_features: int = 128
+    out_features: int = 3
+
+    @nn.compact
+    def __call__(self, x):  # (H, W, C)
+        h, w, c = x.shape
+        x = x.reshape(-1, c)
+        x = nn.relu(nn.Dense(self.hidden_features, kernel_init=kaiming)(x))
+        x = nn.relu(nn.Dense(self.hidden_features, kernel_init=kaiming)(x))
+        x = nn.Dense(self.out_features, kernel_init=kaiming)(x)
+        return x.reshape(h, w, self.out_features)
+
+
+class DoubleConv(nn.Module):
+    features: int
+
+    @nn.compact
+    def __call__(self, x):  # (1, H, W, C)
+        x = nn.relu(nn.Conv(self.features, (3, 3), padding=1,
+                            kernel_init=kaiming)(x))
+        x = nn.relu(nn.Conv(self.features, (3, 3), padding=1,
+                            kernel_init=kaiming)(x))
+        return x
+
+
+class UNet(nn.Module):
+    """3-level encoder/decoder with transpose-conv upsampling + skips."""
+
+    out_channels: int = 3
+    base_channels: int = 64
+
+    @nn.compact
+    def __call__(self, x):  # (H, W, C) -> (H, W, out)
+        h, w, _ = x.shape
+        x = x[None]
+        pool = lambda y: nn.max_pool(y, (2, 2), strides=(2, 2))
+        e1 = DoubleConv(self.base_channels)(x)
+        e2 = DoubleConv(self.base_channels * 2)(pool(e1))
+        e3 = DoubleConv(self.base_channels * 4)(pool(e2))
+        up2 = nn.ConvTranspose(self.base_channels * 2, (2, 2), strides=(2, 2),
+                               kernel_init=kaiming)(e3)
+        d2 = DoubleConv(self.base_channels * 2)(
+            jnp.concatenate([up2, e2], axis=-1))
+        up1 = nn.ConvTranspose(self.base_channels, (2, 2), strides=(2, 2),
+                               kernel_init=kaiming)(d2)
+        d1 = DoubleConv(self.base_channels)(
+            jnp.concatenate([up1, e1], axis=-1))
+        out = nn.Conv(self.out_channels, (1, 1), kernel_init=kaiming)(d1)
+        return out[0]
+
+
+class SmallUNet(nn.Module):
+    """2-level variant (reference :94-124; unused by the render paths but
+    part of the public surface)."""
+
+    out_channels: int = 3
+    base_channels: int = 64
+
+    @nn.compact
+    def __call__(self, x):
+        x = x[None]
+        pool = lambda y: nn.max_pool(y, (2, 2), strides=(2, 2))
+        e1 = DoubleConv(self.base_channels)(x)
+        e2 = DoubleConv(self.base_channels * 2)(pool(e1))
+        up1 = nn.ConvTranspose(self.base_channels, (2, 2), strides=(2, 2),
+                               kernel_init=kaiming)(e2)
+        d1 = DoubleConv(self.base_channels)(
+            jnp.concatenate([up1, e1], axis=-1))
+        out = nn.Conv(self.out_channels, (1, 1), kernel_init=kaiming)(d1)
+        return out[0]
+
+
+class CNN(nn.Module):
+    """5x5 conv kernel-predictor: 64 -> 100 -> 81 channels (9x9 kernels)."""
+
+    mid_channels: int = 100
+    out_channels: int = 81
+    kernel_size: int = 5
+
+    @nn.compact
+    def __call__(self, x):  # (H, W, C) -> (H, W, 81)
+        pad = self.kernel_size // 2
+        x = x[None]
+        x = nn.relu(nn.Conv(self.mid_channels,
+                            (self.kernel_size, self.kernel_size),
+                            padding=pad, kernel_init=kaiming)(x))
+        x = nn.Conv(self.out_channels,
+                    (self.kernel_size, self.kernel_size),
+                    padding=pad, kernel_init=kaiming)(x)
+        return x[0]
+
+
+class PureCNN(nn.Module):
+    """Direct-to-RGB variant of CNN (reference :168-198)."""
+
+    mid_channels: int = 100
+    out_channels: int = 3
+    kernel_size: int = 5
+
+    @nn.compact
+    def __call__(self, x):
+        pad = self.kernel_size // 2
+        x = x[None]
+        x = nn.relu(nn.Conv(self.mid_channels,
+                            (self.kernel_size, self.kernel_size),
+                            padding=pad, kernel_init=kaiming)(x))
+        x = nn.Conv(self.out_channels,
+                    (self.kernel_size, self.kernel_size),
+                    padding=pad, kernel_init=kaiming)(x)
+        return x[0]
+
+
+def denoise(unet_out: jnp.ndarray, cnn_out: jnp.ndarray,
+            kernel_size: int = 9) -> jnp.ndarray:
+    """Dynamic per-pixel filtering (reference Denoiser, :201-228).
+
+    ``unet_out`` (H, W, 3) is reflect-padded, 9x9 patches are extracted and
+    weighted by the per-pixel kernels in ``cnn_out`` (H, W, 81). Stateless,
+    so a plain function rather than a Module (the reference Module holds no
+    parameters either).
+    """
+    h, w, c = unet_out.shape
+    assert c == 3
+    k = kernel_size
+    pad = k // 2
+    img = jnp.pad(unet_out, ((pad, pad), (pad, pad), (0, 0)), mode="reflect")
+    # (1, C, H, W) -> patches (1, C*k*k, H, W) ordered [c, ky, kx] like unfold
+    patches = jax.lax.conv_general_dilated_patches(
+        img[None].transpose(0, 3, 1, 2),
+        filter_shape=(k, k), window_strides=(1, 1), padding="VALID",
+    )  # (1, 3*k*k, H, W)
+    patches = patches.reshape(3, k * k, h, w)
+    kernels = cnn_out.reshape(h, w, k * k)
+    out = jnp.einsum("ckhw,hwk->hwc", patches, kernels)
+    return out

@@ -26,25 +26,37 @@ from neuralgaussiansplatting_tpu.ops.preprocess import Preprocessed
 
 
 class Instances(NamedTuple):
-    """Depth-sorted, tile-partitioned Gaussian instances (static capacity K)."""
+    """Depth-sorted, tile-partitioned Gaussian instances (static capacity K).
 
-    gid: jnp.ndarray          # (K,) int32 gaussian index per instance
-    tile: jnp.ndarray         # (K,) int32 tile id (== num_tiles for padding)
+    The layout is *chunk-aligned*: each tile's segment begins at a multiple of
+    the blend chunk size, so per-chunk reads/writes of [start + c*CH, CH) in
+    the Pallas kernels never cross tile boundaries (race-free per-instance
+    gradient emission, megacore-safe). Slots between ``tile_count`` and the
+    segment end are padding with ``gid == N`` (callers clamp + mask).
+    """
+
+    gid: jnp.ndarray          # (K,) int32 gaussian index (== N for padding)
     valid: jnp.ndarray        # (K,) bool
-    tile_start: jnp.ndarray   # (T,) int32 start offset per tile
-    tile_count: jnp.ndarray   # (T,) int32 instance count per tile
-    num_rendered: jnp.ndarray # () int32 true instance count (may exceed K)
+    tile_start: jnp.ndarray   # (T,) int32 aligned start offset per tile
+    tile_count: jnp.ndarray   # (T,) int32 effective instance count per tile
+    num_rendered: jnp.ndarray # () int32 true demand (may exceed K)
+    max_tile_load: jnp.ndarray  # () int32 max true per-tile demand
 
 
 def bin_gaussians(pre: Preprocessed, tiles_x: int, tiles_y: int,
-                  capacity: int) -> Instances:
-    """Expand Gaussians into depth-sorted per-tile instances.
+                  capacity: int, max_per_tile: int, align: int) -> Instances:
+    """Expand Gaussians into depth-sorted, chunk-aligned per-tile instances.
 
     Each Gaussian occupies ``tiles_touched`` consecutive slots in an implicit
     concatenated list; slot -> Gaussian resolution is a vectorized
     ``searchsorted`` over the inclusive prefix sum (the inverse of the CUDA
     ``duplicateWithKeys`` scatter, chosen because it is gather-shaped and
-    therefore race-free and XLA-friendly).
+    therefore race-free and XLA-friendly). After the (tile, depth) sort the
+    list is re-packed into the aligned layout with a second searchsorted pass.
+
+    Overflow policy (two static caps, both monitored via the returned true
+    counts): per-tile loads cap at ``max_per_tile`` (deepest instances drop);
+    tiles whose aligned segment would overrun ``capacity`` drop entirely.
     """
     n = pre.tiles_touched.shape[0]
     num_tiles = tiles_x * tiles_y
@@ -78,14 +90,33 @@ def bin_gaussians(pre: Preprocessed, tiles_x: int, tiles_y: int,
     )
 
     tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
-    tile_start = jnp.searchsorted(sorted_tile, tile_ids, side="left").astype(jnp.int32)
-    tile_end = jnp.searchsorted(sorted_tile, tile_ids, side="right").astype(jnp.int32)
+    raw_start = jnp.searchsorted(sorted_tile, tile_ids, side="left").astype(jnp.int32)
+    raw_end = jnp.searchsorted(sorted_tile, tile_ids, side="right").astype(jnp.int32)
+    raw_count = raw_end - raw_start
+
+    # --- aligned re-pack ---------------------------------------------------
+    count_eff = jnp.minimum(raw_count, max_per_tile)
+    seg = ((count_eff + align - 1) // align) * align
+    seg_end = jnp.cumsum(seg)
+    aligned_start = seg_end - seg
+    drop = seg_end > capacity          # conservative whole-tile drop
+    count_eff = jnp.where(drop, 0, count_eff)
+    seg = jnp.where(drop, 0, seg)
+    seg_end = jnp.cumsum(seg)
+    aligned_start = seg_end - seg
+
+    t_of = jnp.searchsorted(seg_end, slots, side="right").astype(jnp.int32)
+    t_c = jnp.clip(t_of, 0, num_tiles - 1)
+    loc = slots - aligned_start[t_c]
+    valid = (t_of < num_tiles) & (loc < count_eff[t_c])
+    src = jnp.clip(raw_start[t_c] + loc, 0, capacity - 1)
+    gid_aligned = jnp.where(valid, sorted_gid[src], n).astype(jnp.int32)
 
     return Instances(
-        gid=sorted_gid,
-        tile=sorted_tile,
-        valid=sorted_tile < num_tiles,
-        tile_start=tile_start,
-        tile_count=tile_end - tile_start,
+        gid=gid_aligned,
+        valid=valid,
+        tile_start=aligned_start,
+        tile_count=count_eff,
         num_rendered=num_rendered,
+        max_tile_load=jnp.max(raw_count),
     )

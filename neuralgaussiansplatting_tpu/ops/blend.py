@@ -125,8 +125,12 @@ def blend_tiles(
     done0 = jnp.zeros((num_tiles, pix), bool)
     color0 = jnp.zeros((num_tiles, pix, 3), jnp.float32)
     last0 = jnp.zeros((num_tiles, pix), jnp.int32)
+    # Rematerialize each chunk in the backward pass: without this, autodiff
+    # saves every (T, CHUNK, PIX) alpha tensor across the scan (O(GB) at
+    # 800x800) — recomputing them is far cheaper than the HBM footprint.
     (t_fin, _, color, last), _ = jax.lax.scan(
-        step, (t0, done0, color0, last0), jnp.arange(n_chunks, dtype=jnp.int32)
+        jax.checkpoint(step), (t0, done0, color0, last0),
+        jnp.arange(n_chunks, dtype=jnp.int32)
     )
     return BlendResult(color=color, final_t=t_fin, n_contrib=last)
 

@@ -1,0 +1,393 @@
+"""Pallas TPU tile-blend kernels (production path of the rasterizer).
+
+TPU-native re-design of the reference ``renderCUDA`` forward/backward
+(diff-gaussian-rasterization/cuda_rasterizer/forward.cu:262-374,
+backward.cu:400-557):
+
+- CUDA: one 16x16 thread block per tile, shared-memory batches of 256
+  Gaussians, per-thread sequential blend with warp-voted early exit; backward
+  re-walks back-to-front and atomicAdds per-Gaussian gradients.
+- Here: one grid program per tile. Instance attributes live in HBM as a
+  packed (16, K) array (attributes on sublanes, instances on lanes) in the
+  chunk-aligned layout built by ops/binning.py; each program DMAs
+  (16, CH=128) chunks into VMEM and evaluates the tile's PIX pixels as
+  (PIX, CH) vector ops on the VPU — pixels on sublanes, instances on lanes,
+  so chunk DMAs are lane-aligned and fully contiguous. The sequential
+  front-to-back product becomes an in-chunk cumulative product along the lane
+  axis (Hillis-Steele doubling via ``pltpu.roll`` + lane masking) with a
+  carried per-pixel transmittance; the CUDA early exit becomes a `while` over
+  chunks gated on "all pixels done". The backward walks chunks *forward*
+  (suffix sums come from the saved output: S_i = C.g - prefix_i) and writes
+  per-instance gradients to its tile's own aligned segment — race-free by
+  construction, no atomics; the per-Gaussian reduction happens outside as the
+  transpose of the instance gather (a deterministic XLA scatter-add).
+
+Packed row layout (PROWS=16): 0:x 1:y 2:conic_A 3:conic_B 4:conic_C
+5:opacity 6:r 7:g 8:b (9..15 zero padding to an 8-sublane multiple).
+
+Output raw layout: (T, 8, PIX) — rows 0..2 color, 3 final transmittance,
+4 n_contrib (float); the wrapper slices/reshapes.
+
+Replicated reference quirk: the backward treats alpha as unclamped even when
+the forward clamped it at 0.99 (backward.cu recomputes ``alpha`` but never
+masks the 0.99 branch in d alpha/d op,G) — reproduced for gradient parity
+with the CUDA implementation.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from neuralgaussiansplatting_tpu.ops.binning import Instances
+from neuralgaussiansplatting_tpu.ops.blend import (
+    ALPHA_MAX, ALPHA_MIN, STOP_T, BlendResult,
+)
+
+PROWS = 16
+CHUNK = 128  # lane width; binning alignment must equal this
+
+
+def pack_instance_attrs_t(means2d, conic, opacity, rgb):
+    """Per-Gaussian attrs -> (16, N + 1) packed columns; the final column is
+    an all-zero sentinel for padding instances (gid == N)."""
+    n = means2d.shape[0]
+    packed = jnp.stack([
+        means2d[:, 0], means2d[:, 1],
+        conic[:, 0], conic[:, 1], conic[:, 2],
+        opacity,
+        rgb[:, 0], rgb[:, 1], rgb[:, 2],
+    ], axis=0)                                     # (9, N)
+    packed = jnp.concatenate(
+        [packed, jnp.zeros((PROWS - 9, n), jnp.float32)], axis=0)
+    return jnp.concatenate([packed, jnp.zeros((PROWS, 1), jnp.float32)],
+                           axis=1)
+
+
+def _lane_iota(pix, ch):
+    return jax.lax.broadcasted_iota(jnp.int32, (1, ch), 1)
+
+
+def _cumop_lane(x, op, identity, ch):
+    """Inclusive scan along the lane axis (axis 1) of (pix, ch) via
+    Hillis-Steele doubling with cyclic roll + wrap masking."""
+    lanes = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    k = 1
+    while k < ch:
+        rolled = pltpu.roll(x, k, 1)
+        rolled = jnp.where(lanes >= k, rolled, identity)
+        x = op(x, rolled)
+        k *= 2
+    return x
+
+
+def _shift_right_lane(x, fill, ch):
+    """x[:, i] -> x[:, i-1]; lane 0 gets ``fill`` ((pix, 1) or scalar)."""
+    lanes = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    rolled = pltpu.roll(x, 1, 1)
+    return jnp.where(lanes >= 1, rolled, fill)
+
+
+def _chunk_alpha(data, px, py, lane_valid):
+    """Masked alphas for one chunk.
+
+    data (16, CH); px/py (PIX, 1); lane_valid (1, CH).
+    Returns alpha/g_exp/dx/dy shaped (PIX, CH) with the reference's power>0 /
+    1-255 cutoff / 0.99 clamp applied (forward.cu:341-352).
+    """
+    mx = data[0:1, :]
+    my = data[1:2, :]
+    ca = data[2:3, :]
+    cb = data[3:4, :]
+    cc = data[4:5, :]
+    op = data[5:6, :]
+    dx = mx - px           # (PIX, CH)
+    dy = my - py
+    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    g = jnp.exp(power)
+    alpha = jnp.minimum(ALPHA_MAX, op * g)
+    keep = (power <= 0.0) & (alpha >= ALPHA_MIN) & lane_valid
+    return jnp.where(keep, alpha, 0.0), g, dx, dy
+
+
+def _pixel_coords(t, tiles_x, block_x, block_y, pix):
+    p = jax.lax.broadcasted_iota(jnp.int32, (pix, 1), 0)
+    tx = t % tiles_x
+    ty = t // tiles_x
+    px = (tx * block_x + p % block_x).astype(jnp.float32)
+    py = (ty * block_y + p // block_x).astype(jnp.float32)
+    return px, py
+
+
+# ---------------------------------------------------------------------------
+# Forward kernel
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(start_ref, count_ref, inst_ref, out_ref, chunk_vmem, sem,
+                *, ch, pix, block_x, block_y, tiles_x):
+    t = pl.program_id(0)
+    start = pl.multiple_of(start_ref[t], ch)
+    count = count_ref[t]
+    px, py = _pixel_coords(t, tiles_x, block_x, block_y, pix)
+    lanes = _lane_iota(pix, ch)
+
+    n_chunks = pl.cdiv(count, ch)
+
+    def body(state):
+        c, t_col, done, cr, cg, cb, last = state
+        cp = pltpu.make_async_copy(
+            inst_ref.at[:, pl.ds(start + c * ch, ch)], chunk_vmem, sem)
+        cp.start()
+        cp.wait()
+        data = chunk_vmem[...]
+        lane_valid = (c * ch + lanes) < count
+        alpha, _, _, _ = _chunk_alpha(data, px, py, lane_valid)
+
+        cum = t_col * _cumop_lane(1.0 - alpha, jnp.multiply, 1.0, ch)
+        cum_excl = _shift_right_lane(cum, t_col, ch)
+        alive = (cum >= STOP_T) & (done < 0.5)
+        w = jnp.where(alive, alpha * cum_excl, 0.0)
+
+        cr = cr + jnp.sum(w * data[6:7, :], axis=1, keepdims=True)
+        cg = cg + jnp.sum(w * data[7:8, :], axis=1, keepdims=True)
+        cb = cb + jnp.sum(w * data[8:9, :], axis=1, keepdims=True)
+
+        blended = alive & (alpha > 0.0)
+        idx1 = (c * ch + lanes + 1).astype(jnp.float32)
+        last = jnp.maximum(last, jnp.max(
+            jnp.where(blended, idx1, 0.0), axis=1, keepdims=True))
+
+        t_col = jnp.min(jnp.where(alive, cum, t_col), axis=1, keepdims=True)
+        done = jnp.maximum(done, jnp.max(
+            jnp.where(cum < STOP_T, 1.0, 0.0), axis=1, keepdims=True))
+        return c + 1, t_col, done, cr, cg, cb, last
+
+    def cond(state):
+        c, _, done, *_ = state
+        return (c < n_chunks) & (jnp.min(done) < 0.5)
+
+    zero = jnp.zeros((pix, 1), jnp.float32)
+    init = (jnp.int32(0), jnp.ones((pix, 1), jnp.float32),
+            zero, zero, zero, zero, zero)
+    _, t_col, _, cr, cg, cb, last = jax.lax.while_loop(cond, body, init)
+
+    # out block (1, 8, PIX): transpose the (PIX, 1) columns into rows.
+    out = jnp.concatenate([cr, cg, cb, t_col, last,
+                           jnp.zeros((pix, 3), jnp.float32)], axis=1)
+    out_ref[0] = out.T
+
+
+# ---------------------------------------------------------------------------
+# Backward kernel
+# ---------------------------------------------------------------------------
+
+def _bwd_kernel(start_ref, count_ref, inst_ref, res_ref, cot_ref, grad_ref,
+                chunk_vmem, gchunk_vmem, sem_in, sem_out,
+                *, ch, pix, block_x, block_y, tiles_x):
+    t = pl.program_id(0)
+    start = pl.multiple_of(start_ref[t], ch)
+    count = count_ref[t]
+    px, py = _pixel_coords(t, tiles_x, block_x, block_y, pix)
+    lanes = _lane_iota(pix, ch)
+
+    res = res_ref[0]                       # (8, PIX)
+    cot = cot_ref[0]
+    g_r = cot[0:1, :].T                    # (PIX, 1)
+    g_g = cot[1:2, :].T
+    g_b = cot[2:3, :].T
+    g_t = cot[3:4, :].T
+    out_r = res[0:1, :].T
+    out_g = res[1:2, :].T
+    out_b = res[2:3, :].T
+    t_fin = res[3:4, :].T
+
+    total_dot = out_r * g_r + out_g * g_g + out_b * g_b   # (PIX, 1)
+    tfin_gt = t_fin * g_t
+
+    n_chunks = pl.cdiv(count, ch)
+
+    def body(state):
+        c, t_col, done, prefix = state
+        cp = pltpu.make_async_copy(
+            inst_ref.at[:, pl.ds(start + c * ch, ch)], chunk_vmem, sem_in)
+        cp.start()
+        cp.wait()
+        data = chunk_vmem[...]
+        lane_valid = (c * ch + lanes) < count
+        alpha, g_exp, dx, dy = _chunk_alpha(data, px, py, lane_valid)
+
+        cum = t_col * _cumop_lane(1.0 - alpha, jnp.multiply, 1.0, ch)
+        cum_excl = _shift_right_lane(cum, t_col, ch)
+        alive = (cum >= STOP_T) & (done < 0.5)
+        m = jnp.where(alive & (alpha > 0.0), 1.0, 0.0)
+        w = alpha * cum_excl * m
+
+        cdot = (data[6:7, :] * g_r + data[7:8, :] * g_g
+                + data[8:9, :] * g_b)                     # (PIX, CH)
+        wc = w * cdot
+        prefix_incl = _cumop_lane(wc, jnp.add, 0.0, ch) + prefix
+        suffix = total_dot - prefix_incl
+
+        dalpha = (cum_excl * cdot - (suffix + tfin_gt) / (1.0 - alpha)) * m
+        dG = data[5:6, :] * dalpha          # d alpha/dG = opacity
+        dpow = g_exp * dG
+        ca = data[2:3, :]
+        cb_ = data[3:4, :]
+        cc = data[4:5, :]
+
+        # per-instance sums over pixels (sublane axis) -> (1, CH) rows
+        gr = jnp.concatenate([
+            jnp.sum(dpow * (-ca * dx - cb_ * dy), axis=0, keepdims=True),
+            jnp.sum(dpow * (-cc * dy - cb_ * dx), axis=0, keepdims=True),
+            jnp.sum(dpow * (-0.5 * dx * dx), axis=0, keepdims=True),
+            jnp.sum(dpow * (-dx * dy), axis=0, keepdims=True),
+            jnp.sum(dpow * (-0.5 * dy * dy), axis=0, keepdims=True),
+            jnp.sum(g_exp * dalpha, axis=0, keepdims=True),
+            jnp.sum(w * g_r, axis=0, keepdims=True),
+            jnp.sum(w * g_g, axis=0, keepdims=True),
+            jnp.sum(w * g_b, axis=0, keepdims=True),
+            jnp.zeros((PROWS - 9, ch), jnp.float32),
+        ], axis=0)                                        # (16, CH)
+        gchunk_vmem[...] = gr
+        wr = pltpu.make_async_copy(
+            gchunk_vmem, grad_ref.at[:, pl.ds(start + c * ch, ch)], sem_out)
+        wr.start()
+        wr.wait()
+
+        t_col = jnp.min(jnp.where(alive, cum, t_col), axis=1, keepdims=True)
+        done = jnp.maximum(done, jnp.max(
+            jnp.where(cum < STOP_T, 1.0, 0.0), axis=1, keepdims=True))
+        # carry = inclusive total after this chunk (wc may be negative, so
+        # sum — not max — is the last-lane value of the cumsum)
+        prefix = prefix + jnp.sum(wc, axis=1, keepdims=True)
+        return c + 1, t_col, done, prefix
+
+    def cond(state):
+        c, *_ = state
+        return c < n_chunks
+
+    init = (jnp.int32(0), jnp.ones((pix, 1), jnp.float32),
+            jnp.zeros((pix, 1), jnp.float32), jnp.zeros((pix, 1), jnp.float32))
+    jax.lax.while_loop(cond, body, init)
+
+
+# ---------------------------------------------------------------------------
+# Host-side wrappers
+# ---------------------------------------------------------------------------
+
+def _fwd_call(packed, tile_start, tile_count, *, num_tiles, ch, pix,
+              block_x, block_y, tiles_x, interpret):
+    kernel = functools.partial(
+        _fwd_kernel, ch=ch, pix=pix, block_x=block_x, block_y=block_y,
+        tiles_x=tiles_x)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(num_tiles,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(
+                (1, 8, pix), lambda t, s1, s2: (t, 0, 0),
+                memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((PROWS, ch), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((num_tiles, 8, pix), jnp.float32),
+        interpret=interpret,
+    )(tile_start, tile_count, packed)
+
+
+def _bwd_call(packed, raw, cot, tile_start, tile_count, *, num_tiles, ch, pix,
+              block_x, block_y, tiles_x, interpret):
+    kernel = functools.partial(
+        _bwd_kernel, ch=ch, pix=pix, block_x=block_x, block_y=block_y,
+        tiles_x=tiles_x)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(num_tiles,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((1, 8, pix), lambda t, s1, s2: (t, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 8, pix), lambda t, s1, s2: (t, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            scratch_shapes=[
+                pltpu.VMEM((PROWS, ch), jnp.float32),
+                pltpu.VMEM((PROWS, ch), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA,
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct(packed.shape, jnp.float32),
+        interpret=interpret,
+    )(tile_start, tile_count, packed, raw, cot)
+
+
+def _is_cpu():
+    return jax.default_backend() == "cpu"
+
+
+def blend_tiles(
+    inst: Instances,
+    means2d: jnp.ndarray,
+    conic: jnp.ndarray,
+    opacity: jnp.ndarray,
+    rgb: jnp.ndarray,
+    tiles_x: int,
+    tiles_y: int,
+    block_x: int,
+    block_y: int,
+    max_per_tile: int,
+    chunk: int = CHUNK,
+) -> BlendResult:
+    """Same contract as ops/blend.py:blend_tiles, on the Pallas kernels.
+
+    ``chunk`` is the lane width of a DMA chunk and must equal the binning
+    alignment; 128 is the required value on TPU (interpret mode accepts any
+    power of two for CPU tests).
+    """
+    del max_per_tile  # per-tile caps were applied during binning
+    num_tiles = tiles_x * tiles_y
+    pix = block_x * block_y
+    interpret = _is_cpu()
+    if not interpret:
+        assert chunk % 128 == 0, "TPU DMA chunks must be lane-aligned (128)"
+        assert pix % 8 == 0
+
+    packed_all = pack_instance_attrs_t(means2d, conic, opacity, rgb)
+    packed = packed_all[:, inst.gid]   # (16, K); VJP = deterministic scatter
+
+    cfg = dict(num_tiles=num_tiles, ch=chunk, pix=pix, block_x=block_x,
+               block_y=block_y, tiles_x=tiles_x, interpret=interpret)
+
+    @jax.custom_vjp
+    def core(p):
+        return _fwd_call(p, inst.tile_start, inst.tile_count, **cfg)
+
+    def core_fwd(p):
+        raw = _fwd_call(p, inst.tile_start, inst.tile_count, **cfg)
+        return raw, (p, raw)
+
+    def core_bwd(res, cot):
+        p, raw = res
+        gp = _bwd_call(p, raw, cot, inst.tile_start, inst.tile_count, **cfg)
+        gp = jnp.where(inst.valid[None, :], gp, 0.0)
+        return (gp,)
+
+    core.defvjp(core_fwd, core_bwd)
+    raw = core(packed)
+
+    color = jnp.transpose(raw[:, 0:3, :], (0, 2, 1))   # (T, PIX, 3)
+    final_t = raw[:, 3, :]
+    n_contrib = raw[:, 4, :].astype(jnp.int32)
+    return BlendResult(color=color, final_t=final_t, n_contrib=n_contrib)

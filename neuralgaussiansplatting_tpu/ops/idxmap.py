@@ -1,0 +1,148 @@
+"""Per-pixel hard z-buffer ("idxmap") + feature map for the neural pipeline.
+
+TPU-native re-design of the fork's ``rasterizer2`` CUDA extension:
+- preprocess (raster.cu:10-98): project each Gaussian to a point, pixel
+  footprint = square of radius S/z with S=3.0; cull if view z <= 0.2 or the
+  center pixel is off screen.
+- duplicateIdxDepthImg + 63-bit [x|y|depth] radix sort + identifyPixelRanges
+  (rasterizer_impl.cu:578-727): here the same searchsorted expansion as tile
+  binning but at *pixel* granularity, followed by a (pixel, depth) two-key
+  sort; the winner of pixel p is the first instance of its run.
+- GETMAP (rasterizer_impl.cu:731-817): featuremap[0]=depth, [1..24] =
+  sin/cos positional encoding of the normalized view direction (4 freqs x 3
+  dims, dim-major), [25..63] = the winner's feature_vector[25..63]; colmap =
+  raw view dir; depthmap = depth; idxmap = winner id (-1 for misses).
+- backward: the reference's ``CopyFeature`` scatters dL/dfeaturemap[25..63]
+  with a *non-atomic* += — a data race when one Gaussian wins several pixels
+  (rasterizer_impl.cu:844-846). Here the feature map is built by a JAX
+  gather, whose transpose is a deterministic scatter-add — the race is fixed
+  by construction. Geometry gradients are intentionally zero exactly like the
+  reference (rasterizer2/__init__.py:109-137 returns zeros for
+  means3D/normal/means2D/sh/scales/rotations): positions enter through
+  ``stop_gradient``.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from neuralgaussiansplatting_tpu.ops import projection as proj
+from neuralgaussiansplatting_tpu.ops.preprocess import CameraParams
+
+NUM_FEATURES = 64          # rasterizer2 config.h:3
+NUM_FREQUENCIES = 4        # rasterizer2 auxiliary.h:33
+PE_DIMS = 24               # rasterizer2 auxiliary.h:34
+POINT_SIZE = 3.0           # raster.cu:82 (S)
+
+
+class IdxMaps(NamedTuple):
+    idxmap: jnp.ndarray      # (H, W) int32, -1 = miss
+    colmap: jnp.ndarray      # (H, W, 3) raw view directions
+    depthmap: jnp.ndarray    # (H, W)
+    featuremap: jnp.ndarray  # (H, W, 64)
+
+
+def positional_encoding_3d(dirs: jnp.ndarray) -> jnp.ndarray:
+    """(..., 3) -> (..., 24): sin/cos of 2^f * pi * x, dim-major ordering
+    [dim][freq][sin, cos] (rasterizer_impl.cu:26-42)."""
+    freqs = (2.0 ** jnp.arange(NUM_FREQUENCIES)) * math.pi   # (4,)
+    scaled = dirs[..., :, None] * freqs                      # (..., 3, 4)
+    enc = jnp.stack([jnp.sin(scaled), jnp.cos(scaled)], axis=-1)  # (...,3,4,2)
+    return enc.reshape(dirs.shape[:-1] + (PE_DIMS,))
+
+
+def compute_idxmap(
+    means3d: jnp.ndarray,
+    cam: CameraParams,
+    capacity: int,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Closest-Gaussian index per pixel.
+
+    Returns (idx (H*W,) int32 with -1 misses, depth (N,) view-space z).
+    Geometry is non-differentiable here by reference semantics.
+    """
+    means3d = jax.lax.stop_gradient(means3d)
+    n = means3d.shape[0]
+    w, h = cam.width, cam.height
+
+    p_view = proj.transform_points_4x3(means3d, cam.view)
+    depth = p_view[..., 2]
+    ndc = proj.project_points(means3d, cam.full_proj)
+    fx = proj.ndc2pix(ndc[..., 0], w)
+    fy = proj.ndc2pix(ndc[..., 1], h)
+    cx = fx.astype(jnp.int32)   # trunc like the CUDA int cast (coords >= 0
+    cy = fy.astype(jnp.int32)   # when on screen, where it matters)
+    radius = POINT_SIZE / depth
+
+    # footprint rect in pixels (raster.cu:51-52)
+    x0 = jnp.maximum(0.0, fx - radius).astype(jnp.int32)
+    y0 = jnp.maximum(0.0, fy - radius).astype(jnp.int32)
+    x1 = jnp.minimum(float(w), fx + radius + 1.0).astype(jnp.int32)
+    y1 = jnp.minimum(float(h), fy + radius + 1.0).astype(jnp.int32)
+
+    valid = (depth > 0.2) & (cx >= 0) & (cx < w) & (cy >= 0) & (cy < h)
+    touched = jnp.where(valid, (x1 - x0) * (y1 - y0), 0)
+
+    offsets = jnp.cumsum(touched)
+    num_inst = offsets[-1]
+    starts = offsets - touched
+
+    slots = jnp.arange(capacity, dtype=jnp.int32)
+    gid = jnp.searchsorted(offsets, slots, side="right").astype(jnp.int32)
+    in_range = slots < num_inst
+    gid_c = jnp.clip(gid, 0, n - 1)
+    local = slots - starts[gid_c]
+    rw = jnp.maximum(x1[gid_c] - x0[gid_c], 1)
+    px = x0[gid_c] + local % rw
+    py = y0[gid_c] + local // rw
+    pixel = jnp.where(in_range, py * w + px, w * h).astype(jnp.int32)
+    d = jnp.where(in_range, depth[gid_c], jnp.inf).astype(jnp.float32)
+
+    sorted_pix, _, sorted_gid = jax.lax.sort((pixel, d, gid_c), num_keys=2)
+
+    pix_ids = jnp.arange(w * h, dtype=jnp.int32)
+    pos = jnp.searchsorted(sorted_pix, pix_ids, side="left").astype(jnp.int32)
+    hit = (pos < capacity) & (sorted_pix[jnp.clip(pos, 0, capacity - 1)]
+                              == pix_ids)
+    idx = jnp.where(hit, sorted_gid[jnp.clip(pos, 0, capacity - 1)], -1)
+    return idx, depth
+
+
+def render_idxmaps(
+    means3d: jnp.ndarray,
+    features: jnp.ndarray,
+    cam: CameraParams,
+    capacity: int = 1 << 21,
+) -> IdxMaps:
+    """Full GETMAP-equivalent: z-buffer winner + 64-d feature map.
+
+    ``features`` (N, 64); only dims 25..63 reach the output (0..24 are depth
+    + view-dir PE, replicating GETMAP's overwrite of the first 25 dims).
+    Gradients flow to ``features`` alone.
+    """
+    w, h = cam.width, cam.height
+    idx, depth = compute_idxmap(means3d, cam, capacity)
+    hit = idx >= 0
+    safe = jnp.clip(idx, 0, means3d.shape[0] - 1)
+
+    pos = jax.lax.stop_gradient(means3d)[safe]
+    dirs = pos - cam.campos[None, :]
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    pe = positional_encoding_3d(dirs)                      # (P, 24)
+    d = depth[safe]
+
+    feat_tail = features[safe, PE_DIMS + 1:]               # (P, 39) — grads!
+    fmap = jnp.concatenate([d[:, None], pe, feat_tail], axis=1)
+    fmap = jnp.where(hit[:, None], fmap, 0.0)
+
+    colmap = jnp.where(hit[:, None], dirs, 0.0)
+    return IdxMaps(
+        idxmap=idx.reshape(h, w),
+        colmap=colmap.reshape(h, w, 3),
+        depthmap=jnp.where(hit, d, 0.0).reshape(h, w),
+        featuremap=fmap.reshape(h, w, NUM_FEATURES),
+    )

@@ -43,7 +43,7 @@ class RasterizeSettings:
     capacity: int = 1 << 18        # global instance buffer (CUDA: dynamic)
     max_per_tile: int = 1024       # per-tile blend cap
     chunk: int = 32                # instances blended per scan step
-    backend: str = "xla"           # "xla" | "pallas"
+    backend: str = "pallas"        # "pallas" | "xla"
     scale_modifier: float = 1.0
 
     @property
@@ -99,7 +99,9 @@ def rasterize(
         )
         pre = pre._replace(means2d=pre.means2d + shift)
 
-    inst = binning.bin_gaussians(pre, tiles_x, tiles_y, settings.capacity)
+    inst = binning.bin_gaussians(
+        pre, tiles_x, tiles_y, settings.capacity, settings.max_per_tile,
+        settings.chunk)
 
     if settings.backend == "pallas":
         from neuralgaussiansplatting_tpu.ops import blend_pallas
@@ -134,5 +136,5 @@ def rasterize(
         n_contrib=n_contrib,
         radii=pre.radii,
         num_rendered=inst.num_rendered,
-        max_per_tile=jnp.max(inst.tile_count),
+        max_per_tile=inst.max_tile_load,
     )

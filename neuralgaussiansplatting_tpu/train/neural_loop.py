@@ -1,0 +1,112 @@
+"""Neural-feature training loop (reference trainn.py:55-186, TPU-native).
+
+The ``sw`` switch selects the render path exactly like the reference
+(trainn.py:98-118; the shipped entry hard-codes switch=[2], :252-255).
+Geometry is frozen — the idxmap op returns zero geometry gradients by design
+(reference rasterizer2/__init__.py:109-137) — so only the 64-d per-Gaussian
+features (dims 25..63 reach the loss) and the screen-space decoders train,
+all at ``feature_lr`` (reference gaussian_model.py:261,267-277).
+Densification is disabled (reference trainn.py:166-177, commented out).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from neuralgaussiansplatting_tpu import gaussian_renderer as gr
+from neuralgaussiansplatting_tpu.models import gaussians as gm
+from neuralgaussiansplatting_tpu.train import optim
+from neuralgaussiansplatting_tpu.utils import losses
+
+
+class NeuralTrainState(NamedTuple):
+    params: gm.GaussianParams
+    net_params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+RENDER_FNS = {1: gr.render1, 2: gr.render2, 3: gr.render3}
+
+
+def make_neural_optimizer(opt: optim.OptimizationParams):
+    """Adam(eps=1e-15) at feature_lr over (features, net params); everything
+    else frozen."""
+    def label_params(params: gm.GaussianParams):
+        return gm.GaussianParams(
+            xyz="frozen", normals="frozen", features_dc="frozen",
+            features_rest="frozen", features="train", scaling="frozen",
+            rotation="frozen", opacity="frozen")
+
+    gaussian_tx = optax.multi_transform(
+        {"train": optax.chain(optax.scale_by_adam(eps=1e-15),
+                              optax.scale_by_learning_rate(opt.feature_lr)),
+         "frozen": optax.set_to_zero()},
+        label_params(None))
+    net_tx = optax.chain(optax.scale_by_adam(eps=1e-15),
+                         optax.scale_by_learning_rate(opt.feature_lr))
+    return gaussian_tx, net_tx
+
+
+@functools.partial(jax.jit, static_argnames=("sw", "capacity", "txs",
+                                             "lambda_dssim"))
+def neural_train_step(ts: NeuralTrainState, cam, gt, *, sw, capacity, txs,
+                      lambda_dssim):
+    gaussian_tx, net_tx = txs
+    render_fn = RENDER_FNS[sw]
+
+    def loss_fn(params, net_params):
+        out = render_fn(cam, params, net_params, capacity)
+        return losses.photometric_loss(out["render"], gt, lambda_dssim), out
+
+    (loss, out), (gp, gn) = jax.value_and_grad(
+        loss_fn, argnums=(0, 1), has_aux=True)(ts.params, ts.net_params)
+
+    g_state, n_state = ts.opt_state
+    up_g, g_state = gaussian_tx.update(gp, g_state, ts.params)
+    params = optax.apply_updates(ts.params, up_g)
+    up_n, n_state = net_tx.update(gn, n_state, ts.net_params)
+    net_params = optax.apply_updates(ts.net_params, up_n)
+
+    metrics = {
+        "loss": loss,
+        "psnr": losses.psnr(jnp.clip(out["render"], 0, 1), gt),
+        "hit_rate": jnp.mean((out["idxmap"] >= 0).astype(jnp.float32)),
+    }
+    return NeuralTrainState(params, net_params, (g_state, n_state),
+                            ts.step + 1), metrics
+
+
+class NeuralTrainer:
+    """Host orchestration of the neural pipeline (trainn.py ``training``)."""
+
+    def __init__(self, gaussians: gm.GaussianModel, sw: int = 2,
+                 opt: optim.OptimizationParams = optim.OptimizationParams(),
+                 capacity: int = 1 << 20, seed: int = 0):
+        self.gaussians = gaussians
+        self.sw = sw
+        self.opt = opt
+        self.capacity = capacity
+        key = jax.random.PRNGKey(seed)
+        self.net_params = gr.init_decoders(key)
+        self.txs = make_neural_optimizer(opt)
+        g_state = self.txs[0].init(gaussians.params)
+        n_state = self.txs[1].init(self.net_params)
+        self.ts = NeuralTrainState(
+            params=gaussians.params, net_params=self.net_params,
+            opt_state=(g_state, n_state), step=jnp.asarray(0))
+
+    def step(self, cam, gt_image):
+        self.ts, metrics = neural_train_step(
+            self.ts, cam, gt_image, sw=self.sw, capacity=self.capacity,
+            txs=self.txs, lambda_dssim=self.opt.lambda_dssim)
+        return metrics
+
+    def sync_model(self):
+        self.gaussians.params = self.ts.params
+        self.net_params = self.ts.net_params

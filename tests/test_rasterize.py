@@ -90,18 +90,28 @@ def test_binning_counts_match_rects():
         jnp.asarray(means), jnp.asarray(scales), jnp.asarray(rot),
         jnp.asarray(opac), jnp.asarray(shs), 0, cam, 16, 16)
     tiles_x, tiles_y = 3, 2
-    inst = binning.bin_gaussians(pre, tiles_x, tiles_y, 1 << 14)
+    align = 16
+    inst = binning.bin_gaussians(pre, tiles_x, tiles_y, 1 << 14, 1 << 12, align)
     want = int(np.asarray(pre.tiles_touched).sum())
     assert int(inst.num_rendered) == want
     assert int(np.asarray(inst.valid).sum()) == want
     assert int(np.asarray(inst.tile_count).sum()) == want
-    # depths are non-decreasing within every tile
-    tile = np.asarray(inst.tile)
+    # aligned layout invariants + depth order within every tile
+    start = np.asarray(inst.tile_start)
+    count = np.asarray(inst.tile_count)
     gid = np.asarray(inst.gid)
+    valid = np.asarray(inst.valid)
     depths = np.asarray(pre.depths)
+    n = depths.shape[0]
+    assert np.all(start % align == 0)
     for t in range(tiles_x * tiles_y):
-        d = depths[gid[tile == t]]
+        seg = gid[start[t]:start[t] + count[t]]
+        assert np.all(seg < n)
+        assert np.all(valid[start[t]:start[t] + count[t]])
+        d = depths[seg]
         assert np.all(np.diff(d) >= 0)
+    # padding slots have sentinel gid
+    assert np.all(gid[~valid] == n)
 
 
 def test_jit_and_grads_finite():
