@@ -19,3 +19,13 @@ Subpackages
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+if _os.environ.get("NGS_PLATFORM"):
+    # Escape hatch for CI/tests: this environment's sitecustomize pins the
+    # axon TPU backend in every process; the config knob (unlike the
+    # JAX_PLATFORMS env var, which sitecustomize overrides) still demotes.
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["NGS_PLATFORM"])

@@ -1,0 +1,78 @@
+"""End-to-end CLI smoke: train.py -> render.py -> metrics.py on a tiny scene."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from test_scene import _make_blender_scene
+from neuralgaussiansplatting_tpu.scene import ply as ply_io
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(cmd, timeout=420):
+    env = dict(os.environ)
+    env["NGS_PLATFORM"] = "cpu"
+    r = subprocess.run([sys.executable] + cmd, cwd=REPO, env=env,
+                       capture_output=True, text=True, timeout=timeout)
+    assert r.returncode == 0, f"{cmd}\nSTDOUT:{r.stdout[-2000:]}\nSTDERR:{r.stderr[-3000:]}"
+    return r
+
+
+@pytest.mark.slow
+def test_train_render_metrics_cli(tmp_path):
+    src = str(tmp_path / "scene")
+    model = str(tmp_path / "model")
+    _make_blender_scene(src, n_frames=6, size=32)
+    rng = np.random.default_rng(0)
+    ply_io.store_point_cloud(os.path.join(src, "points3d.ply"),
+                             rng.normal(size=(200, 3)) * 0.8,
+                             rng.random((200, 3)))
+
+    _run(["train.py", "-s", src, "-m", model, "--eval", "--iterations", "25",
+          "--test_iterations", "25", "--save_iterations", "25",
+          "--checkpoint_iterations", "25",
+          "--model_capacity", "512", "--capacity", "8192", "--backend", "xla",
+          "--disable_viewer", "--quiet"])
+    assert os.path.exists(os.path.join(
+        model, "point_cloud", "iteration_25", "point_cloud.ply"))
+    assert os.path.exists(os.path.join(model, "chkpnt25.ckpt"))
+    assert os.path.exists(os.path.join(model, "cfg_args"))
+    assert os.path.exists(os.path.join(model, "cfg_args.json"))
+    assert os.path.exists(os.path.join(model, "cameras.json"))
+    assert os.path.exists(os.path.join(model, "input.ply"))
+
+    _run(["render.py", "-m", model, "--skip_train", "--backend", "xla"])
+    renders = os.path.join(model, "test", "ours_25", "renders")
+    assert len(os.listdir(renders)) > 0
+
+    _run(["metrics.py", "-m", model])
+    with open(os.path.join(model, "results.json")) as f:
+        res = json.load(f)
+    m = res["ours_25"]
+    assert "PSNR" in m and np.isfinite(m["PSNR"])
+    assert "SSIM" in m and np.isfinite(m["SSIM"])
+    assert os.path.exists(os.path.join(model, "per_view.json"))
+
+
+@pytest.mark.slow
+def test_trainn_cli(tmp_path):
+    src = str(tmp_path / "scene")
+    model = str(tmp_path / "modeln")
+    _make_blender_scene(src, n_frames=4, size=32)
+    rng = np.random.default_rng(1)
+    ply_io.store_point_cloud(os.path.join(src, "points3d.ply"),
+                             rng.normal(size=(150, 3)) * 0.8,
+                             rng.random((150, 3)))
+    _run(["trainn.py", "-s", src, "-m", model, "--iterations", "8",
+          "--sw", "1", "--save_iterations", "8",
+          "--video_interval", "0", "--analysis_interval", "4",
+          "--model_capacity", "256"])
+    assert os.path.exists(os.path.join(
+        model, "point_cloud", "iteration_8", "point_cloud.ply"))
+    fa = os.path.join(model, "feature_analysis")
+    assert os.path.exists(os.path.join(fa, "history.csv"))

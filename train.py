@@ -1,0 +1,198 @@
+#!/usr/bin/env python
+"""Classic 3DGS training CLI (reference train.py, TPU-native).
+
+Usage: python train.py -s <dataset path> [-m <model out>] [--eval] ...
+Flags mirror the reference (arguments/__init__.py + train.py:193-208).
+"""
+
+import os
+import sys
+import uuid
+from argparse import ArgumentParser
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def training_report(tb_writer, iteration, metrics, trainer, scene, settings,
+                    test_iterations):
+    import jax.numpy as jnp
+    import numpy as np
+    from neuralgaussiansplatting_tpu.gaussian_renderer import render
+    from neuralgaussiansplatting_tpu.utils import losses
+
+    if tb_writer and metrics:
+        tb_writer.add_scalar("train_loss_patches/total_loss",
+                             metrics.get("loss", 0.0), iteration)
+        tb_writer.add_scalar("total_points",
+                             int(jnp.sum(trainer.ts.gstate.alive)), iteration)
+
+    if iteration in test_iterations:
+        # held-out evaluation (reference training_report, train.py:156-191)
+        for name, cams in [("test", scene.get_test_cameras()),
+                           ("train", scene.get_train_cameras()[:5])]:
+            if not cams:
+                continue
+            psnrs, l1s = [], []
+            for cam in cams:
+                out = render(cam.params(), trainer.ts.params,
+                             trainer.ts.gstate.alive,
+                             trainer.gaussians.active_sh_degree,
+                             trainer.bg, settings)
+                img = jnp.clip(out["render"], 0.0, 1.0)
+                gt = jnp.asarray(cam.image)
+                psnrs.append(float(losses.psnr(img, gt)))
+                l1s.append(float(losses.l1_loss(img, gt)))
+            print(f"\n[ITER {iteration}] Evaluating {name}: "
+                  f"L1 {np.mean(l1s):.5f} PSNR {np.mean(psnrs):.2f}")
+            if tb_writer:
+                tb_writer.add_scalar(f"{name}/loss_viewpoint - psnr",
+                                     np.mean(psnrs), iteration)
+
+
+def main():
+    from neuralgaussiansplatting_tpu import config
+    from neuralgaussiansplatting_tpu.models.gaussians import GaussianModel
+    from neuralgaussiansplatting_tpu.ops import rasterize as rast
+    from neuralgaussiansplatting_tpu.scene import Scene
+    from neuralgaussiansplatting_tpu.train import loop, optim
+    from neuralgaussiansplatting_tpu.viewer import network_gui
+
+    parser = ArgumentParser(description="Training script parameters")
+    config.add_group(parser, config.ModelParams)
+    config.add_group(parser, config.OptimizationParams)
+    config.add_group(parser, config.PipelineParams)
+    parser.add_argument("--ip", type=str, default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=6009)
+    parser.add_argument("--debug_from", type=int, default=-1)
+    parser.add_argument("--detect_anomaly", action="store_true", default=False)
+    parser.add_argument("--test_iterations", nargs="+", type=int,
+                        default=[7_000, 30_000])
+    parser.add_argument("--save_iterations", nargs="+", type=int,
+                        default=[7_000, 30_000])
+    parser.add_argument("--quiet", action="store_true")
+    parser.add_argument("--checkpoint_iterations", nargs="+", type=int,
+                        default=[])
+    parser.add_argument("--start_checkpoint", type=str, default=None)
+    parser.add_argument("--model_capacity", type=int, default=None,
+                        help="Gaussian slot capacity (default: point count)")
+    parser.add_argument("--disable_viewer", action="store_true")
+    args = parser.parse_args()
+    args.save_iterations.append(args.iterations)
+
+    dataset = config.extract(config.ModelParams, args)
+    opt_args = config.extract(config.OptimizationParams, args)
+    pipe = config.extract(config.PipelineParams, args)
+
+    if not dataset.model_path:
+        dataset.model_path = os.path.join(
+            "./output/", os.getenv("OAR_JOB_ID", str(uuid.uuid4())[:10]))
+    print("Optimizing " + dataset.model_path)
+    config.save_cfg_args(dataset.model_path, dataset)
+
+    if not args.disable_viewer:
+        try:
+            network_gui.init(args.ip, args.port)
+        except OSError as e:
+            print(f"viewer socket unavailable ({e}); continuing headless")
+            args.disable_viewer = True
+
+    tb_writer = None
+    try:
+        from tensorboardX import SummaryWriter
+        tb_writer = SummaryWriter(dataset.model_path)
+    except Exception:
+        print("tensorboard not available: not logging progress")
+
+    gaussians = GaussianModel(dataset.sh_degree)
+    scene = Scene(dataset.source_path, dataset.model_path, gaussians,
+                  images=dataset.images, resolution=dataset.resolution,
+                  white_background=dataset.white_background,
+                  eval_split=dataset.eval, capacity=args.model_capacity)
+    if args.model_capacity is None:
+        # leave densification headroom (host-side growth re-buckets later)
+        import numpy as np
+        n = gaussians.num_alive
+        cap = 1 << max(int(np.ceil(np.log2(max(n * 4, 1024)))), 10)
+        gaussians.create_from_pcd_capacity = cap  # informational
+
+    settings = rast.RasterizeSettings(
+        capacity=pipe.capacity, max_per_tile=pipe.max_per_tile,
+        backend=pipe.backend, chunk=128 if pipe.backend == "pallas" else 32)
+    opt = optim.OptimizationParams(
+        **{f: getattr(opt_args, f) for f in (
+            "iterations", "position_lr_init", "position_lr_final",
+            "position_lr_delay_mult", "position_lr_max_steps", "feature_lr",
+            "opacity_lr", "scaling_lr", "rotation_lr", "percent_dense",
+            "lambda_dssim", "densification_interval",
+            "opacity_reset_interval", "densify_from_iter",
+            "densify_until_iter", "densify_grad_threshold",
+            "random_background")})
+    trainer = loop.Trainer(
+        gaussians=gaussians, opt=opt, settings=settings,
+        white_background=dataset.white_background,
+        cameras_extent=scene.cameras_extent)
+
+    first_iter = 0
+    if args.start_checkpoint:
+        first_iter = trainer.restore_checkpoint(args.start_checkpoint)
+        print(f"Resumed from {args.start_checkpoint} at iteration {first_iter}")
+
+    import numpy as np
+    import jax.numpy as jnp
+    from tqdm import tqdm
+    from neuralgaussiansplatting_tpu.gaussian_renderer import render as render_fn
+
+    rng = np.random.default_rng(0)
+    stack = []
+    ema_loss = 0.0
+    progress = tqdm(range(first_iter + 1, opt.iterations + 1),
+                    desc="Training progress")
+    for iteration in progress:
+        # viewer service (reference train.py:52-65)
+        if not args.disable_viewer:
+            if network_gui.conn is None:
+                network_gui.try_connect()
+            while network_gui.conn is not None:
+                try:
+                    cam_v, do_training, _, _, keep_alive, scaling_mod = \
+                        network_gui.receive()
+                    net_image_bytes = None
+                    if cam_v is not None:
+                        out = render_fn(cam_v, trainer.ts.params,
+                                        trainer.ts.gstate.alive,
+                                        gaussians.active_sh_degree,
+                                        trainer.bg, settings,
+                                        scaling_modifier=scaling_mod)
+                        net_image_bytes = network_gui.render_to_bytes(
+                            out["render"])
+                    network_gui.send(net_image_bytes, dataset.source_path)
+                    if do_training and (iteration < opt.iterations
+                                        or not keep_alive):
+                        break
+                except Exception:
+                    network_gui.conn = None
+
+        if not stack:
+            stack = list(rng.permutation(len(scene.get_train_cameras())))
+        cam = scene.get_train_cameras()[stack.pop()]
+        metrics = trainer.step(cam.params(), jnp.asarray(cam.image), iteration)
+
+        if iteration % 10 == 0:
+            ema_loss = 0.4 * float(metrics["loss"]) + 0.6 * ema_loss
+            progress.set_postfix({"Loss": f"{ema_loss:.7f}"})
+        training_report(tb_writer, iteration, metrics, trainer, scene,
+                        settings, set(args.test_iterations))
+        if iteration in args.save_iterations:
+            print(f"\n[ITER {iteration}] Saving Gaussians")
+            trainer.sync_model()
+            scene.save(iteration)
+        if iteration in (args.checkpoint_iterations or []):
+            print(f"\n[ITER {iteration}] Saving Checkpoint")
+            trainer.save_checkpoint(
+                os.path.join(scene.model_path, f"chkpnt{iteration}.ckpt"),
+                iteration)
+    print("\nTraining complete.")
+
+
+if __name__ == "__main__":
+    main()

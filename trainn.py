@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Neural-feature training CLI (reference trainn.py).
+
+Trains the fork's neural pipeline: hard per-pixel z-buffer feature maps
+decoded by screen-space networks. ``--sw`` selects the render path (1=MLP,
+2=UNet+CNN+Denoiser, 3=MLP+CNN+Denoiser); the reference hard-codes [2]
+(trainn.py:252-255). Densification is disabled, matching the reference
+(trainn.py:166-177).
+"""
+
+import os
+import sys
+import uuid
+from argparse import ArgumentParser
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    import numpy as np
+    import jax.numpy as jnp
+    from tqdm import tqdm
+    from neuralgaussiansplatting_tpu import config
+    from neuralgaussiansplatting_tpu.models.gaussians import GaussianModel
+    from neuralgaussiansplatting_tpu.scene import Scene
+    from neuralgaussiansplatting_tpu.train import neural_loop, optim
+    from neuralgaussiansplatting_tpu.utils import video as video_utils
+    from neuralgaussiansplatting_tpu.utils import feature_analysis
+
+    parser = ArgumentParser(description="Neural training script parameters")
+    config.add_group(parser, config.ModelParams)
+    config.add_group(parser, config.OptimizationParams)
+    config.add_group(parser, config.PipelineParams)
+    parser.add_argument("--sw", type=int, default=2, choices=[1, 2, 3])
+    parser.add_argument("--test_iterations", nargs="+", type=int,
+                        default=[7_000, 30_000])
+    parser.add_argument("--save_iterations", nargs="+", type=int,
+                        default=[7_000, 30_000])
+    parser.add_argument("--video_interval", type=int, default=100,
+                        help="render video frames every N iterations "
+                             "(reference trainn.py:134-142); 0 disables")
+    parser.add_argument("--analysis_interval", type=int, default=100,
+                        help="feature-statistics reports every N iterations; "
+                             "0 disables")
+    parser.add_argument("--quiet", action="store_true")
+    parser.add_argument("--model_capacity", type=int, default=None)
+    args = parser.parse_args()
+    args.save_iterations.append(args.iterations)
+
+    dataset = config.extract(config.ModelParams, args)
+    opt_args = config.extract(config.OptimizationParams, args)
+
+    if not dataset.model_path:
+        dataset.model_path = os.path.join(
+            "./output/", str(uuid.uuid4())[:10])
+    print("Optimizing " + dataset.model_path)
+    config.save_cfg_args(dataset.model_path, dataset)
+
+    gaussians = GaussianModel(dataset.sh_degree)
+    scene = Scene(dataset.source_path, dataset.model_path, gaussians,
+                  images=dataset.images, resolution=dataset.resolution,
+                  white_background=dataset.white_background,
+                  eval_split=dataset.eval, capacity=args.model_capacity)
+
+    opt = optim.OptimizationParams(
+        iterations=opt_args.iterations, feature_lr=opt_args.feature_lr,
+        lambda_dssim=opt_args.lambda_dssim)
+    trainer = neural_loop.NeuralTrainer(gaussians, sw=args.sw, opt=opt)
+
+    rng = np.random.default_rng(0)
+    stack = []
+    ema_loss = 0.0
+    progress = tqdm(range(1, opt.iterations + 1), desc="Neural training")
+    for iteration in progress:
+        if not stack:
+            stack = list(rng.permutation(len(scene.get_train_cameras())))
+        cam = scene.get_train_cameras()[stack.pop()]
+        metrics = trainer.step(cam.params(), jnp.asarray(cam.image))
+        if iteration % 10 == 0:
+            ema_loss = 0.4 * float(metrics["loss"]) + 0.6 * ema_loss
+            progress.set_postfix({"Loss": f"{ema_loss:.7f}"})
+
+        if (args.video_interval and iteration % args.video_interval == 0
+                and scene.get_video_cameras()):
+            trainer.sync_model()
+            video_utils.render_video_frames(
+                scene, gaussians, trainer.net_params, iteration,
+                dataset.model_path, sw=args.sw)
+        if args.analysis_interval and iteration % args.analysis_interval == 0:
+            trainer.sync_model()
+            feature_analysis.analyze_gaussian_features(
+                np.asarray(gaussians.params.features)[
+                    np.asarray(gaussians.state.alive)],
+                iteration, dataset.model_path)
+
+        if iteration in args.save_iterations:
+            print(f"\n[ITER {iteration}] Saving Gaussians")
+            trainer.sync_model()
+            scene.save(iteration)
+    print("\nTraining complete.")
+
+
+if __name__ == "__main__":
+    main()
