@@ -27,8 +27,8 @@ def main():
     W = H = 800  # NeRF-synthetic lego resolution (config 2)
     N = 100_000
     params, state, cam = _demo_scene(n=N, w=W, h=H, sh_degree=3)
-    settings = rast.RasterizeSettings(capacity=1 << 20, max_per_tile=1024,
-                                      chunk=32)
+    settings = rast.RasterizeSettings(capacity=1 << 21, max_per_tile=2048,
+                                      chunk=128, backend="pallas")
     bg = jnp.zeros(3, jnp.float32)
     gt = jnp.zeros((3, H, W), jnp.float32)
 

@@ -3,16 +3,27 @@
 TPU-native replacement for the reference's CUB pipeline
 (diff-gaussian-rasterization/cuda_rasterizer/rasterizer_impl.cu:70-139,
 274-338): ``InclusiveSum`` -> ``jnp.cumsum``; ``duplicateWithKeys`` -> a
-vectorized searchsorted expansion over a *static-capacity* instance buffer
-(XLA needs static shapes; the CUDA code instead reallocates per frame,
-rasterize_points.cu:18-24); ``RadixSort`` over [tile|depth] keys ->
-``jax.lax.sort`` with two key operands; ``identifyTileRanges`` ->
-``searchsorted`` of each tile id into the sorted tile column.
+*run-length expansion* over a static-capacity instance buffer;
+``RadixSort`` over [tile|depth] keys -> ``jax.lax.sort`` with two key
+operands; ``identifyTileRanges`` -> ``searchsorted`` of each tile id into the
+sorted tile column (T queries only).
 
-Overflow policy: if the true number of instances exceeds ``capacity``, the
-surplus (instances of the highest-index Gaussians) is dropped and
-``num_rendered`` still reports the true count so callers can monitor and
-re-bucket capacity. This replaces dynamic reallocation under jit.
+Run-length expansion trick (the perf-critical piece): per-slot values that
+are constant over each Gaussian's run of slots are materialized by
+scatter-adding *successive differences* at run starts and taking a wrapping
+int32 cumulative sum — the telescoping sum reconstructs every field exactly
+(including bit-cast floats), with one small scatter + one cumsum instead of a
+binary search whose every probe is a full-capacity gather (a searchsorted
+over 2M slots costs ~17 full gathers ≈ 300ms on v5e; this path is ~5ms).
+
+The output layout is *chunk-aligned*: each tile's segment begins at a
+multiple of the blend chunk size, so per-chunk reads/writes of
+[start + c*CH, CH) in the Pallas kernels never cross tile boundaries
+(race-free per-instance gradient emission, megacore-safe).
+
+Overflow policy (two static caps, both monitored via returned true counts):
+per-tile loads cap at ``max_per_tile`` (deepest instances drop); tiles whose
+aligned segment would overrun ``capacity`` drop entirely.
 """
 
 from __future__ import annotations
@@ -28,11 +39,8 @@ from neuralgaussiansplatting_tpu.ops.preprocess import Preprocessed
 class Instances(NamedTuple):
     """Depth-sorted, tile-partitioned Gaussian instances (static capacity K).
 
-    The layout is *chunk-aligned*: each tile's segment begins at a multiple of
-    the blend chunk size, so per-chunk reads/writes of [start + c*CH, CH) in
-    the Pallas kernels never cross tile boundaries (race-free per-instance
-    gradient emission, megacore-safe). Slots between ``tile_count`` and the
-    segment end are padding with ``gid == N`` (callers clamp + mask).
+    Slots between ``tile_count`` and the segment end are padding with
+    ``gid == N`` (callers clamp + mask via ``valid``).
     """
 
     gid: jnp.ndarray          # (K,) int32 gaussian index (== N for padding)
@@ -43,21 +51,24 @@ class Instances(NamedTuple):
     max_tile_load: jnp.ndarray  # () int32 max true per-tile demand
 
 
+def _expand_runs(fields: jnp.ndarray, starts: jnp.ndarray,
+                 capacity: int) -> jnp.ndarray:
+    """Expand per-run constant rows to per-slot rows (see module docstring).
+
+    fields: (R, F) int32 — value rows, one per run (run r owns slots
+    [starts[r], starts[r+1])); starts: (R,) int32 non-decreasing. Rows of
+    zero-length runs are absorbed exactly by telescoping. Slots after the
+    last run keep the last row's values (callers mask).
+    """
+    diffs = jnp.concatenate([fields[:1], fields[1:] - fields[:-1]], axis=0)
+    buf = jnp.zeros((capacity,) + fields.shape[1:], jnp.int32)
+    buf = buf.at[starts].add(diffs, mode="drop")
+    return jnp.cumsum(buf, axis=0)  # wrapping int32 => exact telescoping
+
+
 def bin_gaussians(pre: Preprocessed, tiles_x: int, tiles_y: int,
                   capacity: int, max_per_tile: int, align: int) -> Instances:
-    """Expand Gaussians into depth-sorted, chunk-aligned per-tile instances.
-
-    Each Gaussian occupies ``tiles_touched`` consecutive slots in an implicit
-    concatenated list; slot -> Gaussian resolution is a vectorized
-    ``searchsorted`` over the inclusive prefix sum (the inverse of the CUDA
-    ``duplicateWithKeys`` scatter, chosen because it is gather-shaped and
-    therefore race-free and XLA-friendly). After the (tile, depth) sort the
-    list is re-packed into the aligned layout with a second searchsorted pass.
-
-    Overflow policy (two static caps, both monitored via the returned true
-    counts): per-tile loads cap at ``max_per_tile`` (deepest instances drop);
-    tiles whose aligned segment would overrun ``capacity`` drop entirely.
-    """
+    """Expand Gaussians into depth-sorted, chunk-aligned per-tile instances."""
     n = pre.tiles_touched.shape[0]
     num_tiles = tiles_x * tiles_y
 
@@ -66,32 +77,39 @@ def bin_gaussians(pre: Preprocessed, tiles_x: int, tiles_y: int,
     num_rendered = offsets[-1]
     starts = offsets - tiles_touched             # exclusive prefix sum
 
+    # --- run-length expansion of per-Gaussian fields to instance slots ----
+    rect_w = jnp.maximum(pre.rect_max[:, 0] - pre.rect_min[:, 0], 1)
+    depth_bits = jax.lax.bitcast_convert_type(
+        pre.depths.astype(jnp.float32), jnp.int32)  # positive => monotone
+    fields = jnp.stack([
+        jnp.arange(n, dtype=jnp.int32),   # 0: gid
+        starts,                            # 1: run start
+        pre.rect_min[:, 0],                # 2: rect min x
+        pre.rect_min[:, 1],                # 3: rect min y
+        rect_w,                            # 4: rect width
+        depth_bits,                        # 5: depth key
+    ], axis=1).astype(jnp.int32)
+    ex = _expand_runs(fields, starts, capacity)
+
     slots = jnp.arange(capacity, dtype=jnp.int32)
-    gid = jnp.searchsorted(offsets, slots, side="right").astype(jnp.int32)
     in_range = slots < num_rendered
-    gid_c = jnp.clip(gid, 0, n - 1)
+    local = slots - ex[:, 1]
+    rw = jnp.maximum(ex[:, 4], 1)
+    tx = ex[:, 2] + local % rw
+    ty = ex[:, 3] + local // rw
+    tile = jnp.where(in_range, ty * tiles_x + tx, num_tiles).astype(jnp.int32)
+    dkey = jnp.where(in_range, ex[:, 5], jnp.iinfo(jnp.int32).max)
+    gid_slot = jnp.where(in_range, ex[:, 0], n)
 
-    local = slots - starts[gid_c]
-    rect_min = pre.rect_min[gid_c]
-    rect_w = jnp.maximum(pre.rect_max[gid_c, 0] - rect_min[..., 0], 1)
-    tx = rect_min[..., 0] + local % rect_w
-    ty = rect_min[..., 1] + local // rect_w
-    tile = ty * tiles_x + tx
-
-    # Padding slots get tile id == num_tiles so they sort to the very end
-    # (the CUDA path uses an "invalid" high key the same way).
-    tile = jnp.where(in_range, tile, num_tiles).astype(jnp.int32)
-    depth = jnp.where(in_range, pre.depths[gid_c], jnp.inf).astype(jnp.float32)
-
-    # Lexicographic (tile, depth) sort == the CUDA 64-bit [tile|depth-bits]
-    # radix sort for positive float depths.
+    # --- (tile, depth) lexicographic sort == CUDA [tile|depth] radix sort --
     sorted_tile, _, sorted_gid = jax.lax.sort(
-        (tile, depth, gid_c), num_keys=2
-    )
+        (tile, dkey, gid_slot), num_keys=2)
 
     tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
-    raw_start = jnp.searchsorted(sorted_tile, tile_ids, side="left").astype(jnp.int32)
-    raw_end = jnp.searchsorted(sorted_tile, tile_ids, side="right").astype(jnp.int32)
+    raw_start = jnp.searchsorted(sorted_tile, tile_ids,
+                                 side="left").astype(jnp.int32)
+    raw_end = jnp.searchsorted(sorted_tile, tile_ids,
+                               side="right").astype(jnp.int32)
     raw_count = raw_end - raw_start
 
     # --- aligned re-pack ---------------------------------------------------
@@ -104,12 +122,14 @@ def bin_gaussians(pre: Preprocessed, tiles_x: int, tiles_y: int,
     seg = jnp.where(drop, 0, seg)
     seg_end = jnp.cumsum(seg)
     aligned_start = seg_end - seg
+    total = seg_end[num_tiles - 1]
 
-    t_of = jnp.searchsorted(seg_end, slots, side="right").astype(jnp.int32)
-    t_c = jnp.clip(t_of, 0, num_tiles - 1)
-    loc = slots - aligned_start[t_c]
-    valid = (t_of < num_tiles) & (loc < count_eff[t_c])
-    src = jnp.clip(raw_start[t_c] + loc, 0, capacity - 1)
+    # per-aligned-slot tile fields via the same run-length expansion
+    tfields = jnp.stack([aligned_start, count_eff, raw_start], axis=1)
+    ex2 = _expand_runs(tfields, aligned_start, capacity)
+    local2 = slots - ex2[:, 0]
+    valid = (slots < total) & (local2 < ex2[:, 1])
+    src = jnp.clip(ex2[:, 2] + local2, 0, capacity - 1)
     gid_aligned = jnp.where(valid, sorted_gid[src], n).astype(jnp.int32)
 
     return Instances(

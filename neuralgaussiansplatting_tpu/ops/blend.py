@@ -108,10 +108,13 @@ def blend_tiles(
         alive = (cum >= STOP_T) & ~done[:, None, :]
         contrib = jnp.where(alive, alpha * cum_excl, 0.0)            # (T, CH, P)
 
+        # precision=HIGHEST: the TPU MXU default truncates f32 operands to
+        # bf16, which costs ~3e-3 absolute color error vs the CUDA reference.
         color = color + jax.lax.dot_general(
             contrib, rgb[g],
             dimension_numbers=(((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )                                                            # (T, P, 3)
         t_out = jnp.min(jnp.where(alive, cum, t_in[:, None, :]), axis=1)
         done = done | jnp.any(cum < STOP_T, axis=1)
