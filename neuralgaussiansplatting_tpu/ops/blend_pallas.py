@@ -53,19 +53,18 @@ CHUNK = 128  # lane width; binning alignment must equal this
 
 
 def pack_instance_attrs_t(means2d, conic, opacity, rgb):
-    """Per-Gaussian attrs -> (16, N + 1) packed columns; the final column is
-    an all-zero sentinel for padding instances (gid == N)."""
-    n = means2d.shape[0]
+    """Per-Gaussian attrs -> (9, N + 1) packed columns; the final column is
+    an all-zero sentinel for padding instances (gid == N). Padding to the
+    16-row kernel layout happens *after* the per-instance gather so the
+    gather's transpose (the per-Gaussian gradient scatter-add) only moves
+    the 9 meaningful rows."""
     packed = jnp.stack([
         means2d[:, 0], means2d[:, 1],
         conic[:, 0], conic[:, 1], conic[:, 2],
         opacity,
         rgb[:, 0], rgb[:, 1], rgb[:, 2],
     ], axis=0)                                     # (9, N)
-    packed = jnp.concatenate(
-        [packed, jnp.zeros((PROWS - 9, n), jnp.float32)], axis=0)
-    return jnp.concatenate([packed, jnp.zeros((PROWS, 1), jnp.float32)],
-                           axis=1)
+    return jnp.concatenate([packed, jnp.zeros((9, 1), jnp.float32)], axis=1)
 
 
 def _lane_iota(pix, ch):
@@ -209,6 +208,12 @@ def _bwd_kernel(start_ref, count_ref, inst_ref, res_ref, cot_ref, grad_ref,
     tfin_gt = t_fin * g_t
 
     n_chunks = pl.cdiv(count, ch)
+    # Instances past the tile's deepest blended contributor (saved n_contrib,
+    # res row 4) have identically zero gradients — compute only up to there
+    # and fill the remaining aligned slots with zeros (they must still be
+    # written: the grad buffer is uninitialized HBM).
+    max_contrib = jnp.max(res[4:5, :]).astype(jnp.int32)
+    live_chunks = jnp.minimum(pl.cdiv(max_contrib, ch), n_chunks)
 
     def body(state):
         c, t_col, done, prefix = state
@@ -268,11 +273,21 @@ def _bwd_kernel(start_ref, count_ref, inst_ref, res_ref, cot_ref, grad_ref,
 
     def cond(state):
         c, *_ = state
-        return c < n_chunks
+        return c < live_chunks
 
     init = (jnp.int32(0), jnp.ones((pix, 1), jnp.float32),
             jnp.zeros((pix, 1), jnp.float32), jnp.zeros((pix, 1), jnp.float32))
     jax.lax.while_loop(cond, body, init)
+
+    def zero_tail(c):
+        gchunk_vmem[...] = jnp.zeros((PROWS, ch), jnp.float32)
+        wr = pltpu.make_async_copy(
+            gchunk_vmem, grad_ref.at[:, pl.ds(start + c * ch, ch)], sem_out)
+        wr.start()
+        wr.wait()
+        return c + 1
+
+    jax.lax.while_loop(lambda c: c < n_chunks, zero_tail, live_chunks)
 
 
 # ---------------------------------------------------------------------------
@@ -365,7 +380,10 @@ def blend_tiles(
         assert pix % 8 == 0
 
     packed_all = pack_instance_attrs_t(means2d, conic, opacity, rgb)
-    packed = packed_all[:, inst.gid]   # (16, K); VJP = deterministic scatter
+    packed9 = packed_all[:, inst.gid]  # (9, K); VJP = deterministic scatter
+    packed = jnp.concatenate(
+        [packed9, jnp.zeros((PROWS - 9, packed9.shape[1]), jnp.float32)],
+        axis=0)
 
     cfg = dict(num_tiles=num_tiles, ch=chunk, pix=pix, block_x=block_x,
                block_y=block_y, tiles_x=tiles_x, interpret=interpret)

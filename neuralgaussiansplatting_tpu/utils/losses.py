@@ -32,32 +32,38 @@ def psnr(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
-def _gaussian_window(window_size: int, sigma: float) -> np.ndarray:
+def _gaussian_window_1d(window_size: int, sigma: float) -> np.ndarray:
     xs = np.arange(window_size, dtype=np.float64)
     g = np.exp(-((xs - window_size // 2) ** 2) / (2.0 * sigma ** 2))
-    g = g / g.sum()
-    w2d = np.outer(g, g).astype(np.float32)
-    return w2d
+    return (g / g.sum()).astype(np.float32)
 
 
-def _depthwise_conv(img: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
-    """(C, H, W) depthwise conv with SAME-style window//2 padding."""
+def _depthwise_conv(img: jnp.ndarray, window1d: jnp.ndarray) -> jnp.ndarray:
+    """(C, H, W) Gaussian blur as two separable 1D passes.
+
+    The 2D Gaussian window is rank-1, so row+column 1D convs are exact and
+    ~W/2 x cheaper than the reference's dense 11x11 depthwise conv (which XLA
+    maps poorly onto the TPU anyway — grouped convs skip the MXU). Channels
+    ride the batch dimension.
+    """
+    ws = window1d.shape[0]
     c = img.shape[0]
-    ws = window.shape[0]
-    kernel = jnp.broadcast_to(window[None, None], (c, 1, ws, ws))
-    return jax.lax.conv_general_dilated(
-        img[None], kernel,
-        window_strides=(1, 1),
-        padding=[(ws // 2, ws // 2)] * 2,
-        feature_group_count=c,
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )[0]
+    x = img[:, None]  # (C, 1, H, W): depthwise via batch
+    kh = window1d.reshape(1, 1, ws, 1)
+    kw = window1d.reshape(1, 1, 1, ws)
+    x = jax.lax.conv_general_dilated(
+        x, kh, (1, 1), [(ws // 2, ws // 2), (0, 0)],
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))
+    x = jax.lax.conv_general_dilated(
+        x, kw, (1, 1), [(0, 0), (ws // 2, ws // 2)],
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))
+    return x[:, 0]
 
 
 def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11,
          sigma: float = 1.5) -> jnp.ndarray:
     """Mean SSIM over a (C, H, W) pair; reference loss_utils.py:23-63."""
-    window = jnp.asarray(_gaussian_window(window_size, sigma))
+    window = jnp.asarray(_gaussian_window_1d(window_size, sigma))
     mu1 = _depthwise_conv(img1, window)
     mu2 = _depthwise_conv(img2, window)
     mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
