@@ -15,8 +15,19 @@ import numpy as np
 
 
 def mean_sq_dist_3nn(points: np.ndarray) -> np.ndarray:
-    """(N, 3) -> (N,) mean squared distance to the 3 nearest neighbors."""
+    """(N, 3) -> (N,) mean squared distance to the 3 nearest neighbors.
+
+    Prefers the multithreaded native Morton-boxed implementation
+    (native/ngs_native.cpp — the same pruning scheme as the reference's
+    simple-knn, and exact: box pruning only skips boxes that provably cannot
+    contain a closer neighbor), then scipy's KD-tree, then JAX brute force.
+    """
     points = np.asarray(points, dtype=np.float32)
+    from neuralgaussiansplatting_tpu import native
+    if len(points) > 4:
+        res = native.knn_mean_dist3(points)
+        if res is not None:
+            return res
     try:
         from scipy.spatial import cKDTree
         tree = cKDTree(points)

@@ -140,7 +140,14 @@ def read_images_text(path):
 
 
 def read_points3d_binary(path):
-    """Returns (xyz (N,3) f64, rgb (N,3) u8, error (N,) f64)."""
+    """Returns (xyz (N,3) f64, rgb (N,3) u8, error (N,) f64).
+
+    Uses the native bulk parser (native/ngs_native.cpp) when built — large
+    scenes ship hundreds of MB of points — with this Python fallback."""
+    from neuralgaussiansplatting_tpu import native
+    res = native.read_points3d_binary(path)
+    if res is not None:
+        return res
     xyzs, rgbs, errs = [], [], []
     with open(path, "rb") as f:
         (num,) = _read(f, 8, "Q")
