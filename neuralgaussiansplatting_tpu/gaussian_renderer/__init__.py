@@ -31,6 +31,8 @@ def render(
     scaling_modifier: float = 1.0,
     means2d_offset: jnp.ndarray | None = None,
     override_color: jnp.ndarray | None = None,
+    convert_shs_python: bool = False,
+    compute_cov3d_python: bool = False,
 ):
     """Classic differentiable 3DGS render (reference render, :19-101).
 
@@ -38,10 +40,26 @@ def render(
     "visibility_filter", "radii"; plus overflow monitors. The reference's
     ``viewspace_points`` grad-retention trick is replaced by the
     ``means2d_offset`` argument — pass zeros (N, 2) and take its gradient.
+
+    ``convert_shs_python`` / ``compute_cov3d_python`` mirror the reference's
+    cross-implementation A/B flags (gaussian_renderer/__init__.py:63-83):
+    they route SH->RGB / covariance through the model-layer helpers and feed
+    the rasterizer via its ``*_precomp`` inputs, exercising the same
+    alternate code path the reference uses as its kernel oracle.
     """
     if scaling_modifier != 1.0:
         settings = rast.RasterizeSettings(
             **{**settings.__dict__, "scale_modifier": scaling_modifier})
+
+    colors_precomp = override_color
+    if override_color is None and convert_shs_python:
+        from neuralgaussiansplatting_tpu.ops import sh as sh_ops
+        colors_precomp = sh_ops.sh_to_rgb_color(
+            active_sh_degree, gm.get_features(params), params.xyz, cam.campos)
+    cov3d_precomp = None
+    if compute_cov3d_python:
+        cov3d_precomp = gm.get_covariance(params, scaling_modifier)
+
     out = rast.rasterize(
         means3d=params.xyz,
         scales=gm.get_scaling(params),
@@ -53,7 +71,8 @@ def render(
         bg=bg_color,
         settings=settings,
         means2d_offset=means2d_offset,
-        colors_precomp=override_color,
+        colors_precomp=colors_precomp,
+        cov3d_precomp=cov3d_precomp,
     )
     return {
         "render": out.color,

@@ -82,6 +82,15 @@ def get_features(p: GaussianParams) -> jnp.ndarray:
     return jnp.concatenate([p.features_dc, p.features_rest], axis=1)
 
 
+def get_covariance(p: GaussianParams, scaling_modifier: float = 1.0) -> jnp.ndarray:
+    """(P, 6) packed world covariance (reference get_covariance,
+    scene/gaussian_model.py:143-144 via build_covariance_from_scaling_rotation)."""
+    from neuralgaussiansplatting_tpu.ops import transforms
+    cov = transforms.build_covariance_3d(
+        get_scaling(p), scaling_modifier, get_rotation(p))
+    return transforms.strip_symmetric(cov)
+
+
 # ---------------------------------------------------------------------------
 # Construction
 # ---------------------------------------------------------------------------

@@ -66,6 +66,14 @@ class RenderOutput(NamedTuple):
     max_per_tile: jnp.ndarray # () int32 max true per-tile load (cap monitor)
 
 
+def mark_visible(means3d: jnp.ndarray, cam: pp.CameraParams) -> jnp.ndarray:
+    """Frustum visibility check (reference ``markVisible``,
+    diff_gaussian_rasterization/__init__.py:171-186 ->
+    rasterizer_impl.cu:141-162: view-space z > 0.2)."""
+    p_view = proj.transform_points_4x3(means3d, cam.view)
+    return p_view[..., 2] > 0.2
+
+
 def rasterize(
     means3d: jnp.ndarray,
     scales: jnp.ndarray,

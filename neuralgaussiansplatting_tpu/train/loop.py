@@ -102,6 +102,10 @@ class Trainer:
     white_background: bool = False
     cameras_extent: float = 1.0
     seed: int = 0
+    debug: bool = False          # reference --debug failure capture
+    debug_from: int = -1
+    snapshot_dir: str = "."
+    auto_grow: bool = True
 
     def __post_init__(self):
         self.tx = optim.make_optimizer(self.opt, self.gaussians.spatial_lr_scale)
@@ -152,7 +156,68 @@ class Trainer:
                     self.white_background
                     and iteration == self.opt.densify_from_iter):
                 self.ts = reset_opacity_step(self.ts)
+            if self.auto_grow and "densify" in metrics:
+                if self.maybe_grow():
+                    metrics["grew_capacity"] = self.ts.params.xyz.shape[0]
+
+        if self.debug and (self.debug_from < 0 or iteration >= self.debug_from):
+            import math
+            if not math.isfinite(float(metrics["loss"])):
+                path = os.path.join(self.snapshot_dir, "snapshot_fw.pkl")
+                self.dump_debug_snapshot(cam, gt_image, iteration, path)
+                raise FloatingPointError(
+                    f"non-finite loss at iteration {iteration}; inputs "
+                    f"dumped to {path}")
         return metrics
+
+    def maybe_grow(self, headroom: float = 0.85, factor: int = 2) -> bool:
+        """Host-side capacity growth: when densification fills the padded
+        arrays past ``headroom``, double every per-Gaussian buffer (params,
+        stats, Adam moments) and re-jit at the new bucket size. This replaces
+        the reference's per-call tensor reallocation + optimizer surgery
+        (gaussian_model.py:394-464) with a handful of bucketed shapes over a
+        whole run."""
+        alive = int(jnp.sum(self.ts.gstate.alive))
+        cap = self.ts.params.xyz.shape[0]
+        if alive < headroom * cap:
+            return False
+        new_cap = cap * factor
+
+        def pad(leaf):
+            if hasattr(leaf, "ndim") and leaf.ndim >= 1 and leaf.shape[0] == cap:
+                pad_width = [(0, new_cap - cap)] + [(0, 0)] * (leaf.ndim - 1)
+                return jnp.pad(leaf, pad_width)
+            return leaf
+
+        params = gm.GaussianParams(*[pad(l) for l in self.ts.params])
+        # keep dead-slot quaternions at identity (NaN containment)
+        rot = params.rotation.at[cap:, 0].set(1.0)
+        params = params._replace(rotation=rot)
+        gstate = gm.GaussianState(*[pad(l) for l in self.ts.gstate])
+        opt_state = jax.tree_util.tree_map(pad, self.ts.opt_state)
+        self.ts = TrainState(params, gstate, opt_state, self.ts.step)
+        return True
+
+    def dump_debug_snapshot(self, cam, gt, iteration: int, path: str):
+        """Failure-capture fixture (reference --debug snapshot_fw.dump,
+        diff_gaussian_rasterization/__init__.py:83-92): persist the full
+        input tuple of the failing step for offline repro."""
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        payload = {
+            "iteration": iteration,
+            "cam": {"view": np.asarray(cam.view),
+                    "full_proj": np.asarray(cam.full_proj),
+                    "campos": np.asarray(cam.campos),
+                    "tan_fovx": cam.tan_fovx, "tan_fovy": cam.tan_fovy,
+                    "width": cam.width, "height": cam.height},
+            "gt": np.asarray(gt),
+            "params": jax.tree_util.tree_map(np.asarray, self.ts.params),
+            "gstate": jax.tree_util.tree_map(np.asarray, self.ts.gstate),
+            "active_sh_degree": self.gaussians.active_sh_degree,
+        }
+        with open(path, "wb") as f:
+            pickle.dump(payload, f)
+        return path
 
     # ---- checkpointing (reference capture/restore, gaussian_model.py:75-111)
     def save_checkpoint(self, path: str, iteration: int):

@@ -166,3 +166,42 @@ def test_capacity_overflow_reported():
         jnp.asarray(means), jnp.asarray(scales), jnp.asarray(rot),
         jnp.asarray(opac), jnp.asarray(shs), 0, cam, jnp.zeros(3), small)
     assert int(out.num_rendered) > 64  # true demand reported despite the cap
+
+
+def test_precomp_paths_match():
+    """The A/B oracle flags (python SH / python cov3d) must not change
+    output (reference uses them to cross-check the CUDA kernels)."""
+    from neuralgaussiansplatting_tpu.models import gaussians as gmod
+    from neuralgaussiansplatting_tpu.gaussian_renderer import render as render_fn
+    cam = make_camera(W=32, H=24)
+    means, scales, rot, opac, shs = random_gaussians(n=80, deg=2, seed=17)
+    params, state = gmod.create_from_pcd(
+        means, np.random.default_rng(0).random((80, 3)), np.zeros((80, 3)),
+        2, capacity=96)
+    def pad(a):
+        return np.pad(a, [(0, 96 - a.shape[0])] + [(0, 0)] * (a.ndim - 1))
+    params = params._replace(
+        scaling=jnp.asarray(pad(np.log(scales))),
+        rotation=jnp.asarray(np.concatenate(
+            [rot, np.tile([1, 0, 0, 0], (16, 1))]).astype(np.float32)),
+        features_rest=jnp.asarray(pad(shs[:, 1:])),
+    )
+    bg = jnp.asarray([0.3, 0.2, 0.1])
+    base = render_fn(cam, params, state.alive, 2, bg, SETTINGS)
+    alt = render_fn(cam, params, state.alive, 2, bg, SETTINGS,
+                    convert_shs_python=True, compute_cov3d_python=True)
+    np.testing.assert_allclose(np.asarray(alt["render"]),
+                               np.asarray(base["render"]), atol=1e-5)
+
+
+def test_mark_visible():
+    cam = make_camera(W=32, H=32, dist=4.0)
+    pts = np.array([[0.0, 0, 0],     # in front
+                    [100.0, 0, 0],   # far behind the camera plane
+                    ], np.float32)
+    # a point behind the camera: move along the camera's backward direction
+    behind = np.asarray(cam.campos) * 2.0
+    pts = np.concatenate([pts, behind[None]]).astype(np.float32)
+    vis = np.asarray(rast.mark_visible(jnp.asarray(pts), cam))
+    assert vis[0]
+    assert not vis[2]

@@ -211,3 +211,18 @@ def test_overfit_tiny_scene(tmp_path):
     first = np.mean(losses_seen[:10])
     last = np.mean(losses_seen[-10:])
     assert last < first * 0.7, (first, last)
+
+
+def test_capacity_growth():
+    params, state = _tiny_model(n=56, capacity=64)
+    g = gm.GaussianModel(sh_degree=1)
+    g.params, g.state = params, state
+    trainer = train_loop.Trainer(gaussians=g, cameras_extent=1.0)
+    assert trainer.maybe_grow(headroom=0.85)
+    assert trainer.ts.params.xyz.shape[0] == 128
+    assert int(jnp.sum(trainer.ts.gstate.alive)) == 56
+    # padded quats are identity; moments padded with zeros
+    np.testing.assert_allclose(np.asarray(trainer.ts.params.rotation)[64:, 0],
+                               1.0)
+    # below headroom: no growth
+    assert not trainer.maybe_grow(headroom=0.99)
