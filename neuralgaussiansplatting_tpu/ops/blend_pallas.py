@@ -388,22 +388,30 @@ def blend_tiles(
     cfg = dict(num_tiles=num_tiles, ch=chunk, pix=pix, block_x=block_x,
                block_y=block_y, tiles_x=tiles_x, interpret=interpret)
 
+    # tile_start/count/valid are explicit custom_vjp arguments (closures over
+    # traced values would leak tracers under vmap); their cotangents are
+    # float0 (integer/bool primals).
     @jax.custom_vjp
-    def core(p):
-        return _fwd_call(p, inst.tile_start, inst.tile_count, **cfg)
+    def core(p, tile_start, tile_count, valid):
+        return _fwd_call(p, tile_start, tile_count, **cfg)
 
-    def core_fwd(p):
-        raw = _fwd_call(p, inst.tile_start, inst.tile_count, **cfg)
-        return raw, (p, raw)
+    def core_fwd(p, tile_start, tile_count, valid):
+        raw = _fwd_call(p, tile_start, tile_count, **cfg)
+        return raw, (p, raw, tile_start, tile_count, valid)
 
     def core_bwd(res, cot):
-        p, raw = res
-        gp = _bwd_call(p, raw, cot, inst.tile_start, inst.tile_count, **cfg)
-        gp = jnp.where(inst.valid[None, :], gp, 0.0)
-        return (gp,)
+        p, raw, tile_start, tile_count, valid = res
+        gp = _bwd_call(p, raw, cot, tile_start, tile_count, **cfg)
+        gp = jnp.where(valid[None, :], gp, 0.0)
+        import numpy as _np
+        f0 = jax.dtypes.float0
+        return (gp,
+                _np.zeros(tile_start.shape, f0),
+                _np.zeros(tile_count.shape, f0),
+                _np.zeros(valid.shape, f0))
 
     core.defvjp(core_fwd, core_bwd)
-    raw = core(packed)
+    raw = core(packed, inst.tile_start, inst.tile_count, inst.valid)
 
     color = jnp.transpose(raw[:, 0:3, :], (0, 2, 1))   # (T, PIX, 3)
     final_t = raw[:, 3, :]

@@ -36,10 +36,10 @@ class CameraParams:
     """
 
     __slots__ = ("view", "full_proj", "campos", "tan_fovx", "tan_fovy",
-                 "width", "height")
+                 "width", "height", "limit_x", "limit_y")
 
     def __init__(self, view, full_proj, campos, tan_fovx, tan_fovy,
-                 width, height):
+                 width, height, limit_x=None, limit_y=None):
         self.view = view
         self.full_proj = full_proj
         self.campos = campos
@@ -47,16 +47,23 @@ class CameraParams:
         self.tan_fovy = float(tan_fovy)
         self.width = int(width)
         self.height = int(height)
+        # EWA frustum-clamp limits (forward.cu:84-85: 1.3 * tan_fov). A
+        # viewport strip of a larger frame passes the FULL frame's limits so
+        # a strip-sharded render is bit-identical to the monolithic one.
+        self.limit_x = float(limit_x) if limit_x is not None else 1.3 * self.tan_fovx
+        self.limit_y = float(limit_y) if limit_y is not None else 1.3 * self.tan_fovy
 
     def tree_flatten(self):
         return ((self.view, self.full_proj, self.campos),
-                (self.tan_fovx, self.tan_fovy, self.width, self.height))
+                (self.tan_fovx, self.tan_fovy, self.width, self.height,
+                 self.limit_x, self.limit_y))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         obj = object.__new__(cls)
         obj.view, obj.full_proj, obj.campos = children
-        obj.tan_fovx, obj.tan_fovy, obj.width, obj.height = aux
+        (obj.tan_fovx, obj.tan_fovy, obj.width, obj.height,
+         obj.limit_x, obj.limit_y) = aux
         return obj
 
     def __repr__(self):
@@ -120,7 +127,8 @@ def preprocess_gaussians(
     focal_x = cam.width / (2.0 * cam.tan_fovx)
     focal_y = cam.height / (2.0 * cam.tan_fovy)
     cov2d = proj.compute_cov2d(
-        means3d, cov3d, cam.view, focal_x, focal_y, cam.tan_fovx, cam.tan_fovy
+        means3d, cov3d, cam.view, focal_x, focal_y, cam.tan_fovx,
+        cam.tan_fovy, cam.limit_x, cam.limit_y,
     )
     conic, radius, det = proj.conic_and_radius(cov2d)
 

@@ -105,15 +105,19 @@ def compute_cov2d(
     focal_y: float,
     tan_fovx: float,
     tan_fovy: float,
+    limit_x: float | None = None,
+    limit_y: float | None = None,
 ) -> jnp.ndarray:
     """EWA projection of (N, 3, 3) world covariances to (N, 3) packed 2D
     covariances (cxx, cxy, cyy), including the reference's frustum clamping
     and +0.3 pixel low-pass filter. Reference forward.cu:74-113.
+    ``limit_*`` override the clamp bounds (viewport strips of a larger frame
+    pass the full frame's 1.3*tan_fov).
     """
     t = transform_points_4x3(means3d, view)
     tz = t[..., 2]
-    limx = 1.3 * tan_fovx
-    limy = 1.3 * tan_fovy
+    limx = 1.3 * tan_fovx if limit_x is None else limit_x
+    limy = 1.3 * tan_fovy if limit_y is None else limit_y
     tx = jnp.clip(t[..., 0] / tz, -limx, limx) * tz
     ty = jnp.clip(t[..., 1] / tz, -limy, limy) * tz
 
