@@ -91,24 +91,38 @@ def compute_idxmap(
     num_inst = offsets[-1]
     starts = offsets - touched
 
+    # run-length expansion (see ops/binning.py:_expand_runs — a searchsorted
+    # here costs ~17 full-capacity gathers)
+    from neuralgaussiansplatting_tpu.ops.binning import _expand_runs
+    depth_bits = jax.lax.bitcast_convert_type(
+        depth.astype(jnp.float32), jnp.int32)
+    fields = jnp.stack([
+        jnp.arange(n, dtype=jnp.int32), starts, x0, y0,
+        jnp.maximum(x1 - x0, 1), depth_bits,
+    ], axis=1).astype(jnp.int32)
+    ex = _expand_runs(fields, starts, capacity)
+
     slots = jnp.arange(capacity, dtype=jnp.int32)
-    gid = jnp.searchsorted(offsets, slots, side="right").astype(jnp.int32)
     in_range = slots < num_inst
-    gid_c = jnp.clip(gid, 0, n - 1)
-    local = slots - starts[gid_c]
-    rw = jnp.maximum(x1[gid_c] - x0[gid_c], 1)
-    px = x0[gid_c] + local % rw
-    py = y0[gid_c] + local // rw
+    local = slots - ex[:, 1]
+    rw = jnp.maximum(ex[:, 4], 1)
+    px = ex[:, 2] + local % rw
+    py = ex[:, 3] + local // rw
     pixel = jnp.where(in_range, py * w + px, w * h).astype(jnp.int32)
-    d = jnp.where(in_range, depth[gid_c], jnp.inf).astype(jnp.float32)
+    dkey = jnp.where(in_range, ex[:, 5], jnp.iinfo(jnp.int32).max)
+    gid_slot = jnp.where(in_range, ex[:, 0], n)
 
-    sorted_pix, _, sorted_gid = jax.lax.sort((pixel, d, gid_c), num_keys=2)
+    sorted_pix, _, sorted_gid = jax.lax.sort((pixel, dkey, gid_slot),
+                                             num_keys=2)
 
-    pix_ids = jnp.arange(w * h, dtype=jnp.int32)
-    pos = jnp.searchsorted(sorted_pix, pix_ids, side="left").astype(jnp.int32)
-    hit = (pos < capacity) & (sorted_pix[jnp.clip(pos, 0, capacity - 1)]
-                              == pix_ids)
-    idx = jnp.where(hit, sorted_gid[jnp.clip(pos, 0, capacity - 1)], -1)
+    # winner of pixel p = the first instance of its run: scatter run heads
+    # (unique destinations) instead of a searchsorted over W*H queries
+    prev = jnp.concatenate(
+        [jnp.full((1,), -1, jnp.int32), sorted_pix[:-1]])
+    is_head = (sorted_pix != prev) & (sorted_pix < w * h)
+    dest = jnp.where(is_head, sorted_pix, w * h)
+    idx = jnp.full(w * h, -1, jnp.int32).at[dest].set(
+        sorted_gid, mode="drop", unique_indices=True)
     return idx, depth
 
 
