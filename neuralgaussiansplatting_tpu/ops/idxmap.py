@@ -149,7 +149,9 @@ def render_idxmaps(
     pe = positional_encoding_3d(dirs)                      # (P, 24)
     d = depth[safe]
 
-    feat_tail = features[safe, PE_DIMS + 1:]               # (P, 39) — grads!
+    # slice-then-gather: the combined features[safe, 25:] advanced-index
+    # lowers to a catastrophically slow XLA gather on TPU (~230x slower)
+    feat_tail = features[:, PE_DIMS + 1:][safe]            # (P, 39) — grads!
     fmap = jnp.concatenate([d[:, None], pe, feat_tail], axis=1)
     fmap = jnp.where(hit[:, None], fmap, 0.0)
 

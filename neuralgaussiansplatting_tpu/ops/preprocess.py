@@ -71,6 +71,70 @@ class CameraParams:
                 f"tan_fov=({self.tan_fovx:.4f},{self.tan_fovy:.4f}))")
 
 
+def _cov2d_components(means3d, scales, rotations, view, focal_x, focal_y,
+                      limit_x, limit_y, scale_modifier):
+    """Fused component-wise EWA pipeline: quat+scale -> Sigma3D -> conic.
+
+    Mathematically identical to transforms.build_covariance_3d +
+    projection.compute_cov2d, but written as scalar-column arithmetic so XLA
+    keeps everything in one elementwise fusion over N instead of
+    materializing (N, 3, 3) intermediates in HBM.
+    """
+    q = rotations / jnp.linalg.norm(rotations, axis=-1, keepdims=True)
+    r, x, y, z = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    R00 = 1 - 2 * (y * y + z * z)
+    R01 = 2 * (x * y - r * z)
+    R02 = 2 * (x * z + r * y)
+    R10 = 2 * (x * y + r * z)
+    R11 = 1 - 2 * (x * x + z * z)
+    R12 = 2 * (y * z - r * x)
+    R20 = 2 * (x * z - r * y)
+    R21 = 2 * (y * z + r * x)
+    R22 = 1 - 2 * (x * x + y * y)
+    s2 = (scales * scale_modifier) ** 2
+    s0, s1, s2_ = s2[:, 0], s2[:, 1], s2[:, 2]
+    # Sigma = R diag(s^2) R^T
+    Sxx = R00 * R00 * s0 + R01 * R01 * s1 + R02 * R02 * s2_
+    Sxy = R00 * R10 * s0 + R01 * R11 * s1 + R02 * R12 * s2_
+    Sxz = R00 * R20 * s0 + R01 * R21 * s1 + R02 * R22 * s2_
+    Syy = R10 * R10 * s0 + R11 * R11 * s1 + R12 * R12 * s2_
+    Syz = R10 * R20 * s0 + R11 * R21 * s1 + R12 * R22 * s2_
+    Szz = R20 * R20 * s0 + R21 * R21 * s1 + R22 * R22 * s2_
+
+    W = view[:3, :3]
+    tx_ = means3d @ W[0] + view[0, 3]
+    ty_ = means3d @ W[1] + view[1, 3]
+    tz_ = means3d @ W[2] + view[2, 3]
+    txz = jnp.clip(tx_ / tz_, -limit_x, limit_x) * tz_
+    tyz = jnp.clip(ty_ / tz_, -limit_y, limit_y) * tz_
+
+    inv_z = 1.0 / tz_
+    inv_z2 = inv_z * inv_z
+    # T = J W rows (2, 3) per gaussian
+    a0 = focal_x * inv_z
+    c0 = -focal_x * txz * inv_z2
+    b1 = focal_y * inv_z
+    c1 = -focal_y * tyz * inv_z2
+    T00 = a0 * W[0, 0] + c0 * W[2, 0]
+    T01 = a0 * W[0, 1] + c0 * W[2, 1]
+    T02 = a0 * W[0, 2] + c0 * W[2, 2]
+    T10 = b1 * W[1, 0] + c1 * W[2, 0]
+    T11 = b1 * W[1, 1] + c1 * W[2, 1]
+    T12 = b1 * W[1, 2] + c1 * W[2, 2]
+
+    # cov2d = T Sigma T^T
+    u0 = T00 * Sxx + T01 * Sxy + T02 * Sxz
+    u1 = T00 * Sxy + T01 * Syy + T02 * Syz
+    u2 = T00 * Sxz + T01 * Syz + T02 * Szz
+    v0 = T10 * Sxx + T11 * Sxy + T12 * Sxz
+    v1 = T10 * Sxy + T11 * Syy + T12 * Syz
+    v2 = T10 * Sxz + T11 * Syz + T12 * Szz
+    cxx = u0 * T00 + u1 * T01 + u2 * T02 + 0.3
+    cxy = u0 * T10 + u1 * T11 + u2 * T12
+    cyy = v0 * T10 + v1 * T11 + v2 * T12 + 0.3
+    return cxx, cxy, cyy, tz_
+
+
 class Preprocessed(NamedTuple):
     means2d: jnp.ndarray        # (N, 2) pixel-space centers
     depths: jnp.ndarray         # (N,) view-space z
@@ -120,16 +184,19 @@ def preprocess_gaussians(
     )
 
     # 3D covariance -> EWA 2D covariance -> conic + radius.
-    if cov3d_precomp is not None:
-        cov3d = transforms.unstrip_symmetric(cov3d_precomp)
-    else:
-        cov3d = transforms.build_covariance_3d(scales, scale_modifier, rotations)
     focal_x = cam.width / (2.0 * cam.tan_fovx)
     focal_y = cam.height / (2.0 * cam.tan_fovy)
-    cov2d = proj.compute_cov2d(
-        means3d, cov3d, cam.view, focal_x, focal_y, cam.tan_fovx,
-        cam.tan_fovy, cam.limit_x, cam.limit_y,
-    )
+    if cov3d_precomp is not None:
+        cov3d = transforms.unstrip_symmetric(cov3d_precomp)
+        cov2d = proj.compute_cov2d(
+            means3d, cov3d, cam.view, focal_x, focal_y, cam.tan_fovx,
+            cam.tan_fovy, cam.limit_x, cam.limit_y,
+        )
+    else:
+        cxx, cxy, cyy, _ = _cov2d_components(
+            means3d, scales, rotations, cam.view, focal_x, focal_y,
+            cam.limit_x, cam.limit_y, scale_modifier)
+        cov2d = jnp.stack([cxx, cxy, cyy], axis=-1)
     conic, radius, det = proj.conic_and_radius(cov2d)
 
     rect_min, rect_max = proj.tile_rect(
