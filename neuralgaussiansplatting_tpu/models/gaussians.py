@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -272,6 +273,29 @@ class GaussianModel:
         self.spatial_lr_scale = float(spatial_lr_scale)
         self.params, self.state = create_from_pcd(
             pcd.points, pcd.colors, pcd.normals, self.max_sh_degree, capacity)
+
+    def capture(self):
+        """Serializable full-state tuple (reference capture,
+        gaussian_model.py:75-90); optimizer state is owned by the Trainer and
+        checkpointed there."""
+        import numpy as np
+        return {
+            "active_sh_degree": self.active_sh_degree,
+            "max_sh_degree": self.max_sh_degree,
+            "spatial_lr_scale": self.spatial_lr_scale,
+            "params": jax.tree_util.tree_map(np.asarray, self.params),
+            "state": jax.tree_util.tree_map(np.asarray, self.state),
+        }
+
+    def restore(self, payload):
+        """Inverse of capture (reference restore, gaussian_model.py:92-111)."""
+        self.active_sh_degree = payload["active_sh_degree"]
+        self.max_sh_degree = payload["max_sh_degree"]
+        self.spatial_lr_scale = payload["spatial_lr_scale"]
+        self.params = GaussianParams(
+            *[jnp.asarray(x) for x in payload["params"]])
+        self.state = GaussianState(
+            *[jnp.asarray(x) for x in payload["state"]])
 
     def save_ply(self, path: str):
         save_ply(path, self.params, self.state.alive)

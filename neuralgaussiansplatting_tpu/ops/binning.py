@@ -67,8 +67,16 @@ def _expand_runs(fields: jnp.ndarray, starts: jnp.ndarray,
 
 
 def bin_gaussians(pre: Preprocessed, tiles_x: int, tiles_y: int,
-                  capacity: int, max_per_tile: int, align: int) -> Instances:
-    """Expand Gaussians into depth-sorted, chunk-aligned per-tile instances."""
+                  capacity: int, max_per_tile: int, align: int,
+                  pack_keys: bool = False) -> Instances:
+    """Expand Gaussians into depth-sorted, chunk-aligned per-tile instances.
+
+    ``pack_keys``: pack [tile | quantized-depth] into a single int32 sort key
+    (2 sort operands instead of 3, ~35%% less sort traffic). Depth keeps its
+    top (31 - ceil_log2(T+1)) bits — nearly-coincident splats may swap blend
+    order vs the exact path (sub-1e-3 image differences); leave False for
+    reference-exact ordering.
+    """
     n = pre.tiles_touched.shape[0]
     num_tiles = tiles_x * tiles_y
 
@@ -98,12 +106,23 @@ def bin_gaussians(pre: Preprocessed, tiles_x: int, tiles_y: int,
     tx = ex[:, 2] + local % rw
     ty = ex[:, 3] + local // rw
     tile = jnp.where(in_range, ty * tiles_x + tx, num_tiles).astype(jnp.int32)
-    dkey = jnp.where(in_range, ex[:, 5], jnp.iinfo(jnp.int32).max)
     gid_slot = jnp.where(in_range, ex[:, 0], n)
 
     # --- (tile, depth) lexicographic sort == CUDA [tile|depth] radix sort --
-    sorted_tile, _, sorted_gid = jax.lax.sort(
-        (tile, dkey, gid_slot), num_keys=2)
+    if pack_keys:
+        tile_bits = max(int(num_tiles + 1).bit_length(), 1)
+        depth_bits_kept = 31 - tile_bits
+        dq = jax.lax.shift_right_logical(ex[:, 5], 31 - depth_bits_kept)
+        key = tile * (1 << depth_bits_kept) + dq
+        key = jnp.where(in_range, key, jnp.iinfo(jnp.int32).max)
+        sorted_key, sorted_gid = jax.lax.sort((key, gid_slot), num_keys=1)
+        sorted_tile = jnp.where(
+            sorted_key == jnp.iinfo(jnp.int32).max, num_tiles,
+            jax.lax.shift_right_logical(sorted_key, depth_bits_kept))
+    else:
+        dkey = jnp.where(in_range, ex[:, 5], jnp.iinfo(jnp.int32).max)
+        sorted_tile, _, sorted_gid = jax.lax.sort(
+            (tile, dkey, gid_slot), num_keys=2)
 
     tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
     raw_start = jnp.searchsorted(sorted_tile, tile_ids,

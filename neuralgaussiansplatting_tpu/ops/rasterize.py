@@ -45,6 +45,7 @@ class RasterizeSettings:
     chunk: int = 32                # instances blended per scan step
     backend: str = "pallas"        # "pallas" | "xla"
     scale_modifier: float = 1.0
+    fast_sort: bool = False        # packed [tile|depth] key (see binning)
 
     @property
     def tiles(self):
@@ -109,7 +110,7 @@ def rasterize(
 
     inst = binning.bin_gaussians(
         pre, tiles_x, tiles_y, settings.capacity, settings.max_per_tile,
-        settings.chunk)
+        settings.chunk, pack_keys=settings.fast_sort)
 
     if settings.backend == "pallas":
         from neuralgaussiansplatting_tpu.ops import blend_pallas

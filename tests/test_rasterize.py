@@ -205,3 +205,19 @@ def test_mark_visible():
     vis = np.asarray(rast.mark_visible(jnp.asarray(pts), cam))
     assert vis[0]
     assert not vis[2]
+
+
+def test_fast_sort_close_to_exact():
+    cam = make_camera(W=40, H=24)
+    means, scales, rot, opac, shs = random_gaussians(n=200, deg=1, seed=23)
+    args = (jnp.asarray(means), jnp.asarray(scales), jnp.asarray(rot),
+            jnp.asarray(opac), jnp.asarray(shs))
+    exact = rast.rasterize(*args, 1, cam, jnp.zeros(3), SETTINGS)
+    fast = rast.rasterize(*args, 1, cam, jnp.zeros(3),
+                          rast.RasterizeSettings(
+                              capacity=1 << 15, max_per_tile=512, chunk=16,
+                              fast_sort=True))
+    a, b = np.asarray(exact.color), np.asarray(fast.color)
+    mse = ((a - b) ** 2).mean()
+    psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
+    assert psnr > 45.0, psnr

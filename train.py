@@ -87,6 +87,8 @@ def main():
         dataset.model_path = os.path.join(
             "./output/", os.getenv("OAR_JOB_ID", str(uuid.uuid4())[:10]))
     print("Optimizing " + dataset.model_path)
+    from neuralgaussiansplatting_tpu.utils.general import safe_state
+    safe_state(args.quiet)
     config.save_cfg_args(dataset.model_path, dataset)
 
     if not args.disable_viewer:

@@ -26,6 +26,7 @@ def main():
     from neuralgaussiansplatting_tpu.train import neural_loop, optim
     from neuralgaussiansplatting_tpu.utils import video as video_utils
     from neuralgaussiansplatting_tpu.utils import feature_analysis
+    from neuralgaussiansplatting_tpu.utils.general import safe_state
 
     parser = ArgumentParser(description="Neural training script parameters")
     config.add_group(parser, config.ModelParams)
@@ -43,6 +44,10 @@ def main():
                         help="feature-statistics reports every N iterations; "
                              "0 disables")
     parser.add_argument("--quiet", action="store_true")
+    parser.add_argument("--show_interval", type=int, default=300,
+                        help="live rendered-vs-GT compare window every N "
+                             "iterations (reference trainn.py:124-131); "
+                             "headless-safe")
     parser.add_argument("--model_capacity", type=int, default=None)
     args = parser.parse_args()
     args.save_iterations.append(args.iterations)
@@ -54,6 +59,7 @@ def main():
         dataset.model_path = os.path.join(
             "./output/", str(uuid.uuid4())[:10])
     print("Optimizing " + dataset.model_path)
+    safe_state(args.quiet)
     config.save_cfg_args(dataset.model_path, dataset)
 
     gaussians = GaussianModel(dataset.sh_degree)
@@ -79,6 +85,15 @@ def main():
         if iteration % 10 == 0:
             ema_loss = 0.4 * float(metrics["loss"]) + 0.6 * ema_loss
             progress.set_postfix({"Loss": f"{ema_loss:.7f}"})
+
+        if args.show_interval and iteration % args.show_interval == 0:
+            from neuralgaussiansplatting_tpu.train.neural_loop import RENDER_FNS
+            from neuralgaussiansplatting_tpu.utils.image import show_img2
+            out = RENDER_FNS[args.sw](cam.params(), trainer.ts.params,
+                                      trainer.ts.net_params,
+                                      trainer.capacity)
+            show_img2(np.asarray(out["render"]), cam.image,
+                      title="render vs gt")
 
         if (args.video_interval and iteration % args.video_interval == 0
                 and scene.get_video_cameras()):
