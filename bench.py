@@ -28,7 +28,8 @@ def main():
     N = 100_000
     params, state, cam = _demo_scene(n=N, w=W, h=H, sh_degree=3)
     settings = rast.RasterizeSettings(capacity=1 << 21, max_per_tile=2048,
-                                      chunk=128, backend="pallas")
+                                      chunk=128, backend="pallas",
+                                      fast_sort=True)
     bg = jnp.zeros(3, jnp.float32)
     gt = jnp.zeros((3, H, W), jnp.float32)
 

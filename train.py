@@ -22,9 +22,18 @@ def training_report(tb_writer, iteration, metrics, trainer, scene, settings,
 
     if tb_writer and metrics:
         tb_writer.add_scalar("train_loss_patches/total_loss",
-                             metrics.get("loss", 0.0), iteration)
+                             float(metrics.get("loss", 0.0)), iteration)
         tb_writer.add_scalar("total_points",
                              int(jnp.sum(trainer.ts.gstate.alive)), iteration)
+        if iteration % 500 == 0:
+            # opacity histogram over alive gaussians (reference
+            # training_report, train.py:186-188)
+            from neuralgaussiansplatting_tpu.models import gaussians as gmod
+            alive = np.asarray(trainer.ts.gstate.alive)
+            op = np.asarray(gmod.get_opacity(trainer.ts.params))[alive]
+            if len(op):
+                tb_writer.add_histogram("scene/opacity_histogram", op,
+                                        iteration)
 
     if iteration in test_iterations:
         # held-out evaluation (reference training_report, train.py:156-191)
@@ -76,12 +85,21 @@ def main():
     parser.add_argument("--model_capacity", type=int, default=None,
                         help="Gaussian slot capacity (default: point count)")
     parser.add_argument("--disable_viewer", action="store_true")
+    parser.add_argument("--profile_dir", type=str, default=None,
+                        help="write a jax profiler trace for iterations "
+                             "100..110 to this directory")
     args = parser.parse_args()
     args.save_iterations.append(args.iterations)
 
     dataset = config.extract(config.ModelParams, args)
     opt_args = config.extract(config.OptimizationParams, args)
     pipe = config.extract(config.PipelineParams, args)
+
+    if args.detect_anomaly:
+        # reference --detect_anomaly (torch.autograd anomaly mode) ->
+        # jax nan-debugging: fail loudly at the op that produced a NaN
+        import jax
+        jax.config.update("jax_debug_nans", True)
 
     if not dataset.model_path:
         dataset.model_path = os.path.join(
@@ -173,6 +191,14 @@ def main():
                         break
                 except Exception:
                     network_gui.conn = None
+
+        if args.profile_dir and iteration == 100:
+            import jax
+            jax.profiler.start_trace(args.profile_dir)
+        if args.profile_dir and iteration == 110:
+            import jax
+            jax.profiler.stop_trace()
+            print(f"\nprofiler trace written to {args.profile_dir}")
 
         if not stack:
             stack = list(rng.permutation(len(scene.get_train_cameras())))
