@@ -115,14 +115,15 @@ def _idx_common(cam, params, capacity):
 
 
 def render1(cam: CameraParams, params: gm.GaussianParams, net_params,
-            capacity: int = 1 << 21):
+            capacity: int = 1 << 21, dtype=jnp.float32):
     """idxmap -> per-pixel MLP decode (reference render1, :104-210).
 
     Returns the reference's keys; ``radii`` is the all-ones placeholder and
     visibility comes from idxmap>0 exactly as the reference does (:189-192).
     """
     maps = _idx_common(cam, params, capacity)
-    mlp_out = nets.FeatureToRGBMLP().apply(net_params["mlp"], maps.featuremap)
+    mlp_out = nets.FeatureToRGBMLP(dtype=dtype).apply(
+        net_params["mlp"], maps.featuremap)
     return {
         "render": jnp.transpose(mlp_out, (2, 0, 1)),
         "idxmap": maps.idxmap,
@@ -135,12 +136,14 @@ def render1(cam: CameraParams, params: gm.GaussianParams, net_params,
 
 
 def render2(cam: CameraParams, params: gm.GaussianParams, net_params,
-            capacity: int = 1 << 21):
+            capacity: int = 1 << 21, dtype=jnp.float32):
     """idxmap -> UNet RGB + CNN dynamic 9x9 kernels -> Denoiser
     (reference render2, :214-323)."""
     maps = _idx_common(cam, params, capacity)
-    denoiser_kernels = nets.CNN().apply(net_params["cnn"], maps.featuremap)
-    unet_output = nets.UNet().apply(net_params["unet"], maps.featuremap)
+    denoiser_kernels = nets.CNN(dtype=dtype).apply(
+        net_params["cnn"], maps.featuremap)
+    unet_output = nets.UNet(dtype=dtype).apply(
+        net_params["unet"], maps.featuremap)
     final = nets.denoise(unet_output, denoiser_kernels)
     return {
         "render": jnp.transpose(final, (2, 0, 1)),
@@ -156,13 +159,14 @@ def render2(cam: CameraParams, params: gm.GaussianParams, net_params,
 
 
 def render3(cam: CameraParams, params: gm.GaussianParams, net_params,
-            capacity: int = 1 << 21):
+            capacity: int = 1 << 21, dtype=jnp.float32):
     """idxmap -> MLP aggregation + CNN kernels -> Denoiser
     (reference render3, :326-434)."""
     maps = _idx_common(cam, params, capacity)
-    aggregation = nets.FeatureToRGBMLP().apply(net_params["mlp"],
-                                               maps.featuremap)
-    denoiser_kernels = nets.CNN().apply(net_params["cnn"], maps.featuremap)
+    aggregation = nets.FeatureToRGBMLP(dtype=dtype).apply(
+        net_params["mlp"], maps.featuremap)
+    denoiser_kernels = nets.CNN(dtype=dtype).apply(
+        net_params["cnn"], maps.featuremap)
     final = nets.denoise(aggregation, denoiser_kernels)
     return {
         "render": jnp.transpose(final, (2, 0, 1)),

@@ -15,6 +15,8 @@ The Denoiser's ``F.unfold`` + per-pixel 9x9 weighted sum becomes
 
 from __future__ import annotations
 
+from typing import Any
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -22,30 +24,38 @@ import jax.numpy as jnp
 # torch kaiming_normal_ default: fan_in mode, gain sqrt(2) (leaky_relu a=0)
 kaiming = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
 
+# All modules accept ``dtype`` (compute precision; params stay f32). bf16
+# doubles conv throughput on the MXU; outputs are cast back to f32.
+
 
 class FeatureToRGBMLP(nn.Module):
     hidden_features: int = 128
     out_features: int = 3
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):  # (H, W, C)
         h, w, c = x.shape
         x = x.reshape(-1, c)
-        x = nn.relu(nn.Dense(self.hidden_features, kernel_init=kaiming)(x))
-        x = nn.relu(nn.Dense(self.hidden_features, kernel_init=kaiming)(x))
-        x = nn.Dense(self.out_features, kernel_init=kaiming)(x)
-        return x.reshape(h, w, self.out_features)
+        d = self.dtype
+        x = nn.relu(nn.Dense(self.hidden_features, kernel_init=kaiming,
+                             dtype=d)(x))
+        x = nn.relu(nn.Dense(self.hidden_features, kernel_init=kaiming,
+                             dtype=d)(x))
+        x = nn.Dense(self.out_features, kernel_init=kaiming, dtype=d)(x)
+        return x.reshape(h, w, self.out_features).astype(jnp.float32)
 
 
 class DoubleConv(nn.Module):
     features: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):  # (1, H, W, C)
         x = nn.relu(nn.Conv(self.features, (3, 3), padding=1,
-                            kernel_init=kaiming)(x))
+                            kernel_init=kaiming, dtype=self.dtype)(x))
         x = nn.relu(nn.Conv(self.features, (3, 3), padding=1,
-                            kernel_init=kaiming)(x))
+                            kernel_init=kaiming, dtype=self.dtype)(x))
         return x
 
 
@@ -54,25 +64,28 @@ class UNet(nn.Module):
 
     out_channels: int = 3
     base_channels: int = 64
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):  # (H, W, C) -> (H, W, out)
         h, w, _ = x.shape
         x = x[None]
+        d = self.dtype
         pool = lambda y: nn.max_pool(y, (2, 2), strides=(2, 2))
-        e1 = DoubleConv(self.base_channels)(x)
-        e2 = DoubleConv(self.base_channels * 2)(pool(e1))
-        e3 = DoubleConv(self.base_channels * 4)(pool(e2))
+        e1 = DoubleConv(self.base_channels, d)(x)
+        e2 = DoubleConv(self.base_channels * 2, d)(pool(e1))
+        e3 = DoubleConv(self.base_channels * 4, d)(pool(e2))
         up2 = nn.ConvTranspose(self.base_channels * 2, (2, 2), strides=(2, 2),
-                               kernel_init=kaiming)(e3)
-        d2 = DoubleConv(self.base_channels * 2)(
+                               kernel_init=kaiming, dtype=d)(e3)
+        d2 = DoubleConv(self.base_channels * 2, d)(
             jnp.concatenate([up2, e2], axis=-1))
         up1 = nn.ConvTranspose(self.base_channels, (2, 2), strides=(2, 2),
-                               kernel_init=kaiming)(d2)
-        d1 = DoubleConv(self.base_channels)(
+                               kernel_init=kaiming, dtype=d)(d2)
+        d1 = DoubleConv(self.base_channels, d)(
             jnp.concatenate([up1, e1], axis=-1))
-        out = nn.Conv(self.out_channels, (1, 1), kernel_init=kaiming)(d1)
-        return out[0]
+        out = nn.Conv(self.out_channels, (1, 1), kernel_init=kaiming,
+                      dtype=d)(d1)
+        return out[0].astype(jnp.float32)
 
 
 class SmallUNet(nn.Module):
@@ -102,6 +115,7 @@ class CNN(nn.Module):
     mid_channels: int = 100
     out_channels: int = 81
     kernel_size: int = 5
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):  # (H, W, C) -> (H, W, 81)
@@ -109,11 +123,12 @@ class CNN(nn.Module):
         x = x[None]
         x = nn.relu(nn.Conv(self.mid_channels,
                             (self.kernel_size, self.kernel_size),
-                            padding=pad, kernel_init=kaiming)(x))
+                            padding=pad, kernel_init=kaiming,
+                            dtype=self.dtype)(x))
         x = nn.Conv(self.out_channels,
                     (self.kernel_size, self.kernel_size),
-                    padding=pad, kernel_init=kaiming)(x)
-        return x[0]
+                    padding=pad, kernel_init=kaiming, dtype=self.dtype)(x)
+        return x[0].astype(jnp.float32)
 
 
 class PureCNN(nn.Module):
