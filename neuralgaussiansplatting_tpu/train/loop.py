@@ -106,6 +106,10 @@ class Trainer:
     debug_from: int = -1
     snapshot_dir: str = "."
     auto_grow: bool = True
+    auto_tune_capacity: bool = True   # re-bucket instance capacity to demand
+    tune_interval: int = 200
+    min_capacity: int = 1 << 16
+    max_capacity: int = 1 << 23
 
     def __post_init__(self):
         self.tx = optim.make_optimizer(self.opt, self.gaussians.spatial_lr_scale)
@@ -159,6 +163,21 @@ class Trainer:
             if self.auto_grow and "densify" in metrics:
                 if self.maybe_grow():
                     metrics["grew_capacity"] = self.ts.params.xyz.shape[0]
+
+        # instance-capacity re-bucketing: binning cost scales with the static
+        # buffer size, so track the true per-frame demand and re-jit onto the
+        # smallest sufficient power-of-two bucket (grow immediately on
+        # overflow, shrink only when comfortably below half)
+        if self.auto_tune_capacity and iteration % self.tune_interval == 0:
+            demand = int(metrics["num_rendered"])
+            cap = self.settings.capacity
+            want = max(self.min_capacity,
+                       1 << max(int(demand * 1.4) - 1, 1).bit_length())
+            want = min(want, self.max_capacity)
+            if want > cap or want < cap // 2:
+                self.settings = dataclasses.replace(
+                    self.settings, capacity=want)
+                metrics["retuned_capacity"] = want
 
         if self.debug and (self.debug_from < 0 or iteration >= self.debug_from):
             import math

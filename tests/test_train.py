@@ -226,3 +226,72 @@ def test_capacity_growth():
                                1.0)
     # below headroom: no growth
     assert not trainer.maybe_grow(headroom=0.99)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    params, state = _tiny_model(n=30, capacity=32)
+    g = gm.GaussianModel(sh_degree=1)
+    g.params, g.state = params, state
+    trainer = train_loop.Trainer(gaussians=g, cameras_extent=1.0)
+
+    cam = make_camera(W=16, H=16)
+    gt = jnp.zeros((3, 16, 16))
+    settings = rast.RasterizeSettings(capacity=1 << 12, max_per_tile=128,
+                                      chunk=16)
+    trainer.settings = settings
+    for it in range(1, 6):
+        trainer.step(cam, gt, it)
+
+    path = str(tmp_path / "ck.pkl")
+    trainer.save_checkpoint(path, 5)
+
+    # continue 3 more steps
+    for it in range(6, 9):
+        m_a = trainer.step(cam, gt, it)
+
+    # restore into a fresh trainer and replay the same 3 steps
+    g2 = gm.GaussianModel(sh_degree=1)
+    g2.params, g2.state = _tiny_model(n=30, capacity=32)
+    t2 = train_loop.Trainer(gaussians=g2, cameras_extent=1.0)
+    t2.settings = settings
+    assert t2.restore_checkpoint(path) == 5
+    for it in range(6, 9):
+        m_b = t2.step(cam, gt, it)
+
+    np.testing.assert_allclose(np.asarray(t2.ts.params.xyz),
+                               np.asarray(trainer.ts.params.xyz), atol=1e-7)
+    assert float(m_a["loss"]) == pytest.approx(float(m_b["loss"]), abs=1e-7)
+
+
+def test_capture_restore_model():
+    params, state = _tiny_model(n=12, capacity=16)
+    g = gm.GaussianModel(sh_degree=1)
+    g.params, g.state = params, state
+    g.active_sh_degree = 1
+    payload = g.capture()
+    g2 = gm.GaussianModel(sh_degree=3)
+    g2.restore(payload)
+    assert g2.active_sh_degree == 1 and g2.max_sh_degree == 1
+    np.testing.assert_allclose(np.asarray(g2.params.xyz),
+                               np.asarray(params.xyz))
+
+
+def test_capacity_autotune():
+    params, state = _tiny_model(n=40, capacity=64)
+    g = gm.GaussianModel(sh_degree=1)
+    g.params, g.state = params, state
+    trainer = train_loop.Trainer(
+        gaussians=g, cameras_extent=1.0,
+        settings=rast.RasterizeSettings(capacity=1 << 17, max_per_tile=128,
+                                        chunk=16),
+    )
+    trainer.min_capacity = 1 << 10
+    trainer.tune_interval = 1
+    cam = make_camera(W=16, H=16)
+    gt = jnp.zeros((3, 16, 16))
+    m = trainer.step(cam, gt, 1)
+    # tiny demand -> bucket shrinks toward min_capacity
+    assert trainer.settings.capacity < (1 << 17)
+    assert trainer.settings.capacity >= 1 << 10
+    # subsequent step runs fine at the retuned bucket
+    trainer.step(cam, gt, 2)
