@@ -50,9 +50,6 @@ def make_dp_train_step(mesh, tx, *, sh_degree: int,
     """Build the jitted sharded step: (TrainState, cam_batch, gt_batch, bg)
     -> (TrainState, metrics)."""
 
-    batch_sh = NamedSharding(mesh, P("data"))
-    repl_sh = NamedSharding(mesh, P())
-
     def step(ts: TrainState, cams: CameraParams, gts: jnp.ndarray,
              bg: jnp.ndarray):
         n = ts.params.xyz.shape[0]
@@ -98,7 +95,6 @@ def make_dp_train_step(mesh, tx, *, sh_degree: int,
         metrics = {"loss": loss}
         return TrainState(params, gstate, opt_state, ts.step + 1), metrics
 
-    del batch_sh, repl_sh
     # Input placement (shard_batch / replicate_state) carries the shardings;
     # jit propagates them and inserts the gradient all-reduce over ICI.
     return jax.jit(step, donate_argnums=(0,))
