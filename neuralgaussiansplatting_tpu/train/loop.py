@@ -107,7 +107,7 @@ class Trainer:
     snapshot_dir: str = "."
     auto_grow: bool = True
     auto_tune_capacity: bool = True   # re-bucket instance capacity to demand
-    tune_interval: int = 200
+    tune_interval: int = 500
     min_capacity: int = 1 << 16
     max_capacity: int = 1 << 23
 
@@ -174,7 +174,9 @@ class Trainer:
             want = max(self.min_capacity,
                        1 << max(int(demand * 1.4) - 1, 1).bit_length())
             want = min(want, self.max_capacity)
-            if want > cap or want < cap // 2:
+            # hysteresis: grow eagerly, shrink only past 4x slack (every
+            # bucket switch costs a recompile)
+            if want > cap or want < cap // 4:
                 self.settings = dataclasses.replace(
                     self.settings, capacity=want)
                 metrics["retuned_capacity"] = want

@@ -54,14 +54,14 @@ def make_neural_optimizer(opt: optim.OptimizationParams):
 
 
 @functools.partial(jax.jit, static_argnames=("sw", "capacity", "txs",
-                                             "lambda_dssim"))
+                                             "lambda_dssim", "dtype"))
 def neural_train_step(ts: NeuralTrainState, cam, gt, *, sw, capacity, txs,
-                      lambda_dssim):
+                      lambda_dssim, dtype=jnp.float32):
     gaussian_tx, net_tx = txs
     render_fn = RENDER_FNS[sw]
 
     def loss_fn(params, net_params):
-        out = render_fn(cam, params, net_params, capacity)
+        out = render_fn(cam, params, net_params, capacity, dtype=dtype)
         return losses.photometric_loss(out["render"], gt, lambda_dssim), out
 
     (loss, out), (gp, gn) = jax.value_and_grad(
@@ -87,11 +87,13 @@ class NeuralTrainer:
 
     def __init__(self, gaussians: gm.GaussianModel, sw: int = 2,
                  opt: optim.OptimizationParams = optim.OptimizationParams(),
-                 capacity: int = 1 << 20, seed: int = 0):
+                 capacity: int = 1 << 20, seed: int = 0,
+                 mixed_precision: bool = False):
         self.gaussians = gaussians
         self.sw = sw
         self.opt = opt
         self.capacity = capacity
+        self.dtype = jnp.bfloat16 if mixed_precision else jnp.float32
         key = jax.random.PRNGKey(seed)
         self.net_params = gr.init_decoders(key)
         self.txs = make_neural_optimizer(opt)
@@ -104,7 +106,8 @@ class NeuralTrainer:
     def step(self, cam, gt_image):
         self.ts, metrics = neural_train_step(
             self.ts, cam, gt_image, sw=self.sw, capacity=self.capacity,
-            txs=self.txs, lambda_dssim=self.opt.lambda_dssim)
+            txs=self.txs, lambda_dssim=self.opt.lambda_dssim,
+            dtype=self.dtype)
         return metrics
 
     def sync_model(self):

@@ -139,3 +139,16 @@ def test_neural_training_reduces_loss():
         (3, 16, 16)).astype(np.float32) * 0.2 + 0.4)
     losses_seen = [float(trainer.step(cam, gt)["loss"]) for _ in range(60)]
     assert np.mean(losses_seen[-5:]) < np.mean(losses_seen[:5]) * 0.8
+
+
+def test_neural_trainer_mixed_precision():
+    cam = make_camera(W=16, H=16)
+    means, *_ = random_gaussians(n=30, deg=0, seed=12)
+    g = gm.GaussianModel(sh_degree=0)
+    g.params, g.state = gm.create_from_pcd(
+        means, np.random.rand(30, 3), np.zeros((30, 3)), 0, capacity=32)
+    trainer = neural_loop.NeuralTrainer(g, sw=2, capacity=2048,
+                                        mixed_precision=True)
+    gt = jnp.full((3, 16, 16), 0.5)
+    m = trainer.step(cam, gt)
+    assert np.isfinite(float(m["loss"]))

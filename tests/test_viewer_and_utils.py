@@ -145,3 +145,33 @@ def test_distributed_single_process():
     tree = distributed.host_broadcast_pytree({"a": 1})
     assert tree["a"] == 1
     distributed.assert_synchronized(42)
+
+
+def test_lpips_with_random_weights(tmp_path, monkeypatch):
+    from neuralgaussiansplatting_tpu.utils import lpips as lpips_mod
+    rng = np.random.default_rng(0)
+    # synthesize a weight file matching the expected schema
+    out = {}
+    cin = 3
+    li = 0
+    for c, n_convs in lpips_mod.VGG16_STAGES:
+        for _ in range(n_convs):
+            out[f"conv{li}_w"] = rng.normal(
+                scale=0.05, size=(3, 3, cin, c)).astype(np.float32)
+            out[f"conv{li}_b"] = np.zeros(c, np.float32)
+            cin = c
+            li += 1
+    for i, (c, _) in enumerate(lpips_mod.VGG16_STAGES):
+        out[f"lin{i}_w"] = np.full(c, 1.0 / c, np.float32)
+    path = str(tmp_path / "w.npz")
+    np.savez(path, **out)
+    monkeypatch.setenv("NGS_LPIPS_WEIGHTS", path)
+    lpips_mod._load_params.cache_clear()
+    fn = lpips_mod.lpips_fn("vgg")
+    assert fn is not None
+    a = rng.random((3, 32, 32)).astype(np.float32)
+    b = rng.random((3, 32, 32)).astype(np.float32)
+    assert fn(a, a) == pytest.approx(0.0, abs=1e-6)
+    assert fn(a, b) > 0
+    monkeypatch.delenv("NGS_LPIPS_WEIGHTS")
+    lpips_mod._load_params.cache_clear()

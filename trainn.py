@@ -49,6 +49,8 @@ def main():
                              "iterations (reference trainn.py:124-131); "
                              "headless-safe")
     parser.add_argument("--model_capacity", type=int, default=None)
+    parser.add_argument("--mixed_precision", action="store_true",
+                        help="bf16 compute in the screen-space decoders")
     args = parser.parse_args()
     args.save_iterations.append(args.iterations)
 
@@ -71,7 +73,9 @@ def main():
     opt = optim.OptimizationParams(
         iterations=opt_args.iterations, feature_lr=opt_args.feature_lr,
         lambda_dssim=opt_args.lambda_dssim)
-    trainer = neural_loop.NeuralTrainer(gaussians, sw=args.sw, opt=opt)
+    trainer = neural_loop.NeuralTrainer(
+        gaussians, sw=args.sw, opt=opt,
+        mixed_precision=args.mixed_precision)
 
     rng = np.random.default_rng(0)
     stack = []
