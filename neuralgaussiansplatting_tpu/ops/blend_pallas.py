@@ -136,13 +136,28 @@ def _fwd_kernel(start_ref, count_ref, inst_ref, out_ref, chunk_vmem, sem,
 
     n_chunks = pl.cdiv(count, ch)
 
+    # double-buffered chunk DMA: prefetch c+1 while blending c so the copy
+    # latency never sits on the critical path (chunk_vmem is (2, 16, ch),
+    # sem is a 2-wide DMA semaphore array)
+    def dma(c):
+        slot = jax.lax.rem(c, 2)
+        return pltpu.make_async_copy(
+            inst_ref.at[:, pl.ds(start + c * ch, ch)],
+            chunk_vmem.at[slot], sem.at[slot])
+
+    @pl.when(n_chunks > 0)
+    def _():
+        dma(jnp.int32(0)).start()
+
     def body(state):
         c, t_col, done, cr, cg, cb, last = state
-        cp = pltpu.make_async_copy(
-            inst_ref.at[:, pl.ds(start + c * ch, ch)], chunk_vmem, sem)
-        cp.start()
-        cp.wait()
-        data = chunk_vmem[...]
+
+        @pl.when(c + 1 < n_chunks)
+        def _():
+            dma(c + 1).start()
+
+        dma(c).wait()
+        data = chunk_vmem[jax.lax.rem(c, 2)]
         lane_valid = (c * ch + lanes) < count
         alpha, _, _, _ = _chunk_alpha(data, px, py, lane_valid)
 
@@ -172,7 +187,12 @@ def _fwd_kernel(start_ref, count_ref, inst_ref, out_ref, chunk_vmem, sem,
     zero = jnp.zeros((pix, 1), jnp.float32)
     init = (jnp.int32(0), jnp.ones((pix, 1), jnp.float32),
             zero, zero, zero, zero, zero)
-    _, t_col, _, cr, cg, cb, last = jax.lax.while_loop(cond, body, init)
+    c_stop, t_col, _, cr, cg, cb, last = jax.lax.while_loop(cond, body, init)
+
+    # on early exit the prefetched chunk c_stop has an outstanding DMA
+    @pl.when(c_stop < n_chunks)
+    def _():
+        dma(c_stop).wait()
 
     # out block (1, 8, PIX): transpose the (PIX, 1) columns into rows.
     out = jnp.concatenate([cr, cg, cb, t_col, last,
@@ -215,13 +235,33 @@ def _bwd_kernel(start_ref, count_ref, inst_ref, res_ref, cot_ref, grad_ref,
     max_contrib = jnp.max(res[4:5, :]).astype(jnp.int32)
     live_chunks = jnp.minimum(pl.cdiv(max_contrib, ch), n_chunks)
 
+    # double-buffered read DMA (prefetch c+1) and write DMA (wait for the
+    # slot's previous flight only when reusing it)
+    def dma_in(c):
+        slot = jax.lax.rem(c, 2)
+        return pltpu.make_async_copy(
+            inst_ref.at[:, pl.ds(start + c * ch, ch)],
+            chunk_vmem.at[slot], sem_in.at[slot])
+
+    def dma_out(c):
+        slot = jax.lax.rem(c, 2)
+        return pltpu.make_async_copy(
+            gchunk_vmem.at[slot],
+            grad_ref.at[:, pl.ds(start + c * ch, ch)], sem_out.at[slot])
+
+    @pl.when(live_chunks > 0)
+    def _():
+        dma_in(jnp.int32(0)).start()
+
     def body(state):
         c, t_col, done, prefix = state
-        cp = pltpu.make_async_copy(
-            inst_ref.at[:, pl.ds(start + c * ch, ch)], chunk_vmem, sem_in)
-        cp.start()
-        cp.wait()
-        data = chunk_vmem[...]
+
+        @pl.when(c + 1 < live_chunks)
+        def _():
+            dma_in(c + 1).start()
+
+        dma_in(c).wait()
+        data = chunk_vmem[jax.lax.rem(c, 2)]
         lane_valid = (c * ch + lanes) < count
         alpha, g_exp, dx, dy = _chunk_alpha(data, px, py, lane_valid)
 
@@ -257,11 +297,12 @@ def _bwd_kernel(start_ref, count_ref, inst_ref, res_ref, cot_ref, grad_ref,
             jnp.sum(w * g_b, axis=0, keepdims=True),
             jnp.zeros((PROWS - 9, ch), jnp.float32),
         ], axis=0)                                        # (16, CH)
-        gchunk_vmem[...] = gr
-        wr = pltpu.make_async_copy(
-            gchunk_vmem, grad_ref.at[:, pl.ds(start + c * ch, ch)], sem_out)
-        wr.start()
-        wr.wait()
+        @pl.when(c >= 2)
+        def _():
+            dma_out(c - 2).wait()  # free this slot before rewriting it
+
+        gchunk_vmem[jax.lax.rem(c, 2)] = gr
+        dma_out(c).start()
 
         t_col = jnp.min(jnp.where(alive, cum, t_col), axis=1, keepdims=True)
         done = jnp.maximum(done, jnp.max(
@@ -279,10 +320,21 @@ def _bwd_kernel(start_ref, count_ref, inst_ref, res_ref, cot_ref, grad_ref,
             jnp.zeros((pix, 1), jnp.float32), jnp.zeros((pix, 1), jnp.float32))
     jax.lax.while_loop(cond, body, init)
 
+    # drain the last (up to two) outstanding gradient writes
+    @pl.when(live_chunks >= 2)
+    def _():
+        dma_out(live_chunks - 2).wait()
+
+    @pl.when(live_chunks >= 1)
+    def _():
+        dma_out(live_chunks - 1).wait()
+
     def zero_tail(c):
-        gchunk_vmem[...] = jnp.zeros((PROWS, ch), jnp.float32)
+        slot = jax.lax.rem(c, 2)
+        gchunk_vmem[slot] = jnp.zeros((PROWS, ch), jnp.float32)
         wr = pltpu.make_async_copy(
-            gchunk_vmem, grad_ref.at[:, pl.ds(start + c * ch, ch)], sem_out)
+            gchunk_vmem.at[slot],
+            grad_ref.at[:, pl.ds(start + c * ch, ch)], sem_out.at[slot])
         wr.start()
         wr.wait()
         return c + 1
@@ -309,8 +361,8 @@ def _fwd_call(packed, tile_start, tile_count, *, num_tiles, ch, pix,
                 (1, 8, pix), lambda t, s1, s2: (t, 0, 0),
                 memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((PROWS, ch), jnp.float32),
-                pltpu.SemaphoreType.DMA,
+                pltpu.VMEM((2, PROWS, ch), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((num_tiles, 8, pix), jnp.float32),
@@ -337,10 +389,10 @@ def _bwd_call(packed, raw, cot, tile_start, tile_count, *, num_tiles, ch, pix,
             ],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=[
-                pltpu.VMEM((PROWS, ch), jnp.float32),
-                pltpu.VMEM((PROWS, ch), jnp.float32),
-                pltpu.SemaphoreType.DMA,
-                pltpu.SemaphoreType.DMA,
+                pltpu.VMEM((2, PROWS, ch), jnp.float32),
+                pltpu.VMEM((2, PROWS, ch), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct(packed.shape, jnp.float32),

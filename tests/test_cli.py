@@ -76,3 +76,69 @@ def test_trainn_cli(tmp_path):
         model, "point_cloud", "iteration_8", "point_cloud.ply"))
     fa = os.path.join(model, "feature_analysis")
     assert os.path.exists(os.path.join(fa, "history.csv"))
+
+
+@pytest.mark.slow
+def test_train_colmap_scene_cli(tmp_path):
+    """COLMAP-layout dataset through the full train.py CLI."""
+    import struct
+    from PIL import Image
+
+    src = str(tmp_path / "cscene")
+    sparse = os.path.join(src, "sparse", "0")
+    images_dir = os.path.join(src, "images")
+    os.makedirs(sparse)
+    os.makedirs(images_dir)
+
+    rng = np.random.default_rng(0)
+    W = H = 48
+    focal = 40.0
+    n_views = 4
+
+    with open(os.path.join(sparse, "cameras.bin"), "wb") as f:
+        f.write(struct.pack("<Q", 1))
+        f.write(struct.pack("<iiQQ", 1, 0, W, H))  # SIMPLE_PINHOLE
+        f.write(struct.pack("<ddd", focal, W / 2, H / 2))
+
+    with open(os.path.join(sparse, "images.bin"), "wb") as f:
+        f.write(struct.pack("<Q", n_views))
+        for i in range(n_views):
+            ang = 2 * np.pi * i / n_views
+            fwd = -np.array([np.cos(ang), np.sin(ang), 0.0])
+            up = np.array([0.0, 0.0, 1.0])
+            right = np.cross(up, fwd); right /= np.linalg.norm(right)
+            true_up = np.cross(fwd, right)
+            Rc2w = np.stack([right, true_up, fwd], axis=1)
+            cam_pos = -fwd * 4.0
+            Rw2c = Rc2w.T
+            t = -Rw2c @ cam_pos
+            # rotation -> colmap qvec (w2c rotation)
+            from neuralgaussiansplatting_tpu.scene.colmap import rotmat2qvec
+            q = rotmat2qvec(Rw2c)
+            f.write(struct.pack("<i", i + 1))
+            f.write(struct.pack("<dddd", *q))
+            f.write(struct.pack("<ddd", *t))
+            f.write(struct.pack("<i", 1))
+            f.write(f"im{i}.png\x00".encode())
+            f.write(struct.pack("<Q", 0))
+            arr = (rng.random((H, W, 3)) * 255).astype(np.uint8)
+            Image.fromarray(arr).save(os.path.join(images_dir, f"im{i}.png"))
+
+    with open(os.path.join(sparse, "points3D.bin"), "wb") as f:
+        n_pts = 120
+        f.write(struct.pack("<Q", n_pts))
+        pts = rng.uniform(-1, 1, (n_pts, 3))
+        for i in range(n_pts):
+            f.write(struct.pack("<QdddBBBd", i, *pts[i],
+                                *rng.integers(0, 255, 3), 0.5))
+            f.write(struct.pack("<Q", 0))
+
+    model = str(tmp_path / "cmodel")
+    _run(["train.py", "-s", src, "-m", model, "--iterations", "12",
+          "--test_iterations", "12", "--save_iterations", "12",
+          "--model_capacity", "256", "--capacity", "8192", "--backend", "xla",
+          "--disable_viewer", "--quiet"])
+    assert os.path.exists(os.path.join(
+        model, "point_cloud", "iteration_12", "point_cloud.ply"))
+    # input.ply persisted from the COLMAP points
+    assert os.path.exists(os.path.join(model, "input.ply"))
