@@ -30,8 +30,6 @@ from neuralgaussiansplatting_tpu.ops import binning
 from neuralgaussiansplatting_tpu.ops import blend as blend_xla
 from neuralgaussiansplatting_tpu.ops import preprocess as pp
 from neuralgaussiansplatting_tpu.ops import projection as proj
-from neuralgaussiansplatting_tpu.ops import sh as sh_ops
-from neuralgaussiansplatting_tpu.ops import transforms
 
 
 @dataclasses.dataclass(frozen=True)

@@ -14,16 +14,12 @@ the gradient psum over ICI and overlaps it with the backward pass.
 
 from __future__ import annotations
 
-import functools
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from neuralgaussiansplatting_tpu.gaussian_renderer import render
-from neuralgaussiansplatting_tpu.models import gaussians as gm
 from neuralgaussiansplatting_tpu.ops import rasterize as rast
 from neuralgaussiansplatting_tpu.ops.preprocess import CameraParams
 from neuralgaussiansplatting_tpu.train import densify as dens

@@ -240,6 +240,56 @@ class Trainer:
             pickle.dump(payload, f)
         return path
 
+    # ---- orbax checkpointing (multi-host-safe production format) ----------
+    def save_checkpoint_orbax(self, path: str, iteration: int):
+        """Async-capable orbax checkpoint of the full train state. Use this
+        for pod-scale runs (atomic renames, per-array chunking); the pickle
+        format below mirrors the reference's single-file torch.save."""
+        import orbax.checkpoint as ocp
+
+        tree = {
+            "params": self.ts.params._asdict(),
+            "gstate": self.ts.gstate._asdict(),
+            "opt_state": self.ts.opt_state,
+            "meta": {
+                "iteration": jnp.asarray(iteration),
+                "active_sh_degree": jnp.asarray(
+                    self.gaussians.active_sh_degree),
+                "spatial_lr_scale": jnp.asarray(
+                    self.gaussians.spatial_lr_scale),
+            },
+        }
+        with ocp.StandardCheckpointer() as ck:
+            ck.save(os.path.abspath(path), tree)
+
+    def restore_checkpoint_orbax(self, path: str) -> int:
+        import orbax.checkpoint as ocp
+
+        template = {
+            "params": self.ts.params._asdict(),
+            "gstate": self.ts.gstate._asdict(),
+            "opt_state": self.ts.opt_state,
+            "meta": {
+                "iteration": jnp.asarray(0),
+                "active_sh_degree": jnp.asarray(0),
+                "spatial_lr_scale": jnp.asarray(0.0),
+            },
+        }
+        with ocp.StandardCheckpointer() as ck:
+            tree = ck.restore(os.path.abspath(path), template)
+        self.gaussians.active_sh_degree = int(tree["meta"]["active_sh_degree"])
+        self.gaussians.spatial_lr_scale = float(
+            tree["meta"]["spatial_lr_scale"])
+        iteration = int(tree["meta"]["iteration"])
+        self.ts = TrainState(
+            params=gm.GaussianParams(**tree["params"]),
+            gstate=gm.GaussianState(**tree["gstate"]),
+            opt_state=tree["opt_state"],
+            step=jnp.asarray(iteration),
+        )
+        self.sync_model()
+        return iteration
+
     # ---- checkpointing (reference capture/restore, gaussian_model.py:75-111)
     def save_checkpoint(self, path: str, iteration: int):
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)

@@ -295,3 +295,26 @@ def test_capacity_autotune():
     assert trainer.settings.capacity >= 1 << 10
     # subsequent step runs fine at the retuned bucket
     trainer.step(cam, gt, 2)
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    params, state = _tiny_model(n=20, capacity=32)
+    g = gm.GaussianModel(sh_degree=1)
+    g.params, g.state = params, state
+    g.active_sh_degree = 1
+    trainer = train_loop.Trainer(gaussians=g, cameras_extent=1.0)
+    cam = make_camera(W=16, H=16)
+    settings = rast.RasterizeSettings(capacity=1 << 12, max_per_tile=128,
+                                      chunk=16)
+    trainer.settings = settings
+    trainer.step(cam, jnp.zeros((3, 16, 16)), 1)
+    path = str(tmp_path / "ock")
+    trainer.save_checkpoint_orbax(path, 1)
+
+    g2 = gm.GaussianModel(sh_degree=1)
+    g2.params, g2.state = _tiny_model(n=20, capacity=32)
+    t2 = train_loop.Trainer(gaussians=g2, cameras_extent=1.0)
+    t2.settings = settings
+    assert t2.restore_checkpoint_orbax(path) == 1
+    np.testing.assert_allclose(np.asarray(t2.ts.params.xyz),
+                               np.asarray(trainer.ts.params.xyz))
