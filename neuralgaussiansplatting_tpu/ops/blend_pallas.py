@@ -57,7 +57,8 @@ def pack_instance_attrs_t(means2d, conic, opacity, rgb):
     an all-zero sentinel for padding instances (gid == N). Padding to the
     16-row kernel layout happens *after* the per-instance gather so the
     gather's transpose (the per-Gaussian gradient scatter-add) only moves
-    the 9 meaningful rows."""
+    the 9 meaningful rows. (A row-major layout + post-gather transpose was
+    measured slower: the 2M-column transpose exceeds the minor-gather cost.)"""
     packed = jnp.stack([
         means2d[:, 0], means2d[:, 1],
         conic[:, 0], conic[:, 1], conic[:, 2],
