@@ -170,3 +170,11 @@ def tile_rect(point_image: jnp.ndarray, radius: jnp.ndarray,
     rmax_x = jnp.clip(jnp.floor((x + radius + block_x - 1) / block_x), 0, tiles_x).astype(jnp.int32)
     rmax_y = jnp.clip(jnp.floor((y + radius + block_y - 1) / block_y), 0, tiles_y).astype(jnp.int32)
     return (jnp.stack([rmin_x, rmin_y], -1), jnp.stack([rmax_x, rmax_y], -1))
+
+
+def geom_transform_points(points: jnp.ndarray, transf_matrix: jnp.ndarray) -> jnp.ndarray:
+    """Homogeneous-transform points with the +1e-7 w-guard (reference
+    utils/graphics_utils.py:22-29; that version takes the transposed matrix —
+    ours is M @ p)."""
+    out = transform_points_4x4(points, transf_matrix)
+    return out[..., :3] / (out[..., 3:4] + 1e-7)
