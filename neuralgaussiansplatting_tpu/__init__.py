@@ -29,3 +29,19 @@ if _os.environ.get("NGS_PLATFORM"):
     import jax as _jax
 
     _jax.config.update("jax_platforms", _os.environ["NGS_PLATFORM"])
+
+if not _os.environ.get("NGS_NO_COMPILE_CACHE"):
+    # Persistent XLA compilation cache: recompiles of the rasterizer /
+    # train-step shape buckets are the dominant startup cost (remote-compile
+    # environments especially); cache hits cut them to ~100 ms.
+    import jax as _jax
+
+    _cache_dir = _os.environ.get(
+        "NGS_COMPILE_CACHE",
+        _os.path.join(_os.path.expanduser("~"), ".cache", "ngs-jax-cache"))
+    try:
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # cache is an optimization only
