@@ -62,11 +62,14 @@ class GaussianState(NamedTuple):
 # ---------------------------------------------------------------------------
 
 def get_scaling(p: GaussianParams) -> jnp.ndarray:
-    return jnp.exp(p.scaling)
+    # clamp the exponent far above any physical scale: squaring e^25 twice
+    # in the covariance chain would overflow f32 into inf -> NaN gradients
+    return jnp.exp(jnp.minimum(p.scaling, 25.0))
 
 
 def get_rotation(p: GaussianParams) -> jnp.ndarray:
-    return p.rotation / jnp.linalg.norm(p.rotation, axis=-1, keepdims=True)
+    return p.rotation / jnp.sqrt(jnp.maximum(
+        jnp.sum(p.rotation * p.rotation, axis=-1, keepdims=True), 1e-16))
 
 
 def get_opacity(p: GaussianParams, alive: jnp.ndarray | None = None) -> jnp.ndarray:

@@ -145,7 +145,8 @@ def render_idxmaps(
 
     pos = jax.lax.stop_gradient(means3d)[safe]
     dirs = pos - cam.campos[None, :]
-    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    dirs = dirs / jnp.sqrt(jnp.maximum(
+        jnp.sum(dirs * dirs, axis=-1, keepdims=True), 1e-16))
     pe = positional_encoding_3d(dirs)                      # (P, 24)
     d = depth[safe]
 

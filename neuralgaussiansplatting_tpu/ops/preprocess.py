@@ -80,7 +80,8 @@ def _cov2d_components(means3d, scales, rotations, view, focal_x, focal_y,
     keeps everything in one elementwise fusion over N instead of
     materializing (N, 3, 3) intermediates in HBM.
     """
-    q = rotations / jnp.linalg.norm(rotations, axis=-1, keepdims=True)
+    q = rotations / jnp.sqrt(jnp.maximum(
+        jnp.sum(rotations * rotations, axis=-1, keepdims=True), 1e-16))
     r, x, y, z = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
     R00 = 1 - 2 * (y * y + z * z)
     R01 = 2 * (x * y - r * z)
@@ -104,7 +105,10 @@ def _cov2d_components(means3d, scales, rotations, view, focal_x, focal_y,
     W = view[:3, :3]
     tx_ = means3d @ W[0] + view[0, 3]
     ty_ = means3d @ W[1] + view[1, 3]
-    tz_ = means3d @ W[2] + view[2, 3]
+    tz_raw = means3d @ W[2] + view[2, 3]
+    # z floor well below the 0.2 cull (see projection.compute_cov2d note)
+    tz_ = jnp.where(jnp.abs(tz_raw) < 0.01,
+                    jnp.where(tz_raw < 0, -0.01, 0.01), tz_raw)
     txz = jnp.clip(tx_ / tz_, -limit_x, limit_x) * tz_
     tyz = jnp.clip(ty_ / tz_, -limit_y, limit_y) * tz_
 
@@ -207,7 +211,12 @@ def preprocess_gaussians(
 
     # Reference cull chain: near plane, det == 0, empty rect (forward.cu
     # 190-236). radii = 0 encodes "culled" downstream, as in the reference.
-    valid = in_front & (det != 0.0) & (rect_w * rect_h > 0)
+    # Additionally cull exactly-zero opacity: the reference can't produce it
+    # (sigmoid > 0), but this framework's dead capacity-padding slots carry
+    # opacity == 0 — without this they bin as full-size phantom instances
+    # that waste capacity and evict real Gaussians from per-tile caps.
+    valid = (in_front & (det != 0.0) & (rect_w * rect_h > 0)
+             & (opacities > 0.0))
     radii = jnp.where(valid, radius, 0.0).astype(jnp.int32)
     tiles = jnp.where(valid, rect_w * rect_h, 0).astype(jnp.int32)
 

@@ -88,8 +88,12 @@ def project_points(points: jnp.ndarray, full_proj: jnp.ndarray) -> jnp.ndarray:
     Reference forward.cu:198-201 (p_hom / (p_hom.w + 1e-7)).
     """
     p_hom = transform_points_4x4(points, full_proj)
-    p_w = 1.0 / (p_hom[..., 3:4] + 1e-7)
-    return p_hom[..., :3] * p_w
+    denom = p_hom[..., 3:4] + 1e-7
+    # magnitude floor: points on the camera plane (w ~ 0) are near-plane
+    # culled, but an unguarded divide makes their *gradients* NaN
+    denom = jnp.where(jnp.abs(denom) < 1e-6,
+                      jnp.where(denom < 0, -1e-6, 1e-6), denom)
+    return p_hom[..., :3] / denom
 
 
 def ndc2pix(v: jnp.ndarray, size: int) -> jnp.ndarray:
@@ -115,7 +119,12 @@ def compute_cov2d(
     pass the full frame's 1.3*tan_fov).
     """
     t = transform_points_4x3(means3d, view)
-    tz = t[..., 2]
+    # z magnitude floor well below the 0.2 near-plane cull: rows with
+    # |z| < 0.01 are culled anyway, and flooring keeps 1/z^2 products from
+    # overflowing f32 into inf (inf - inf => NaN downstream, and NaN in a
+    # culled row's *gradient* poisons the row under Adam)
+    tz = jnp.where(jnp.abs(t[..., 2]) < 0.01,
+                   jnp.where(t[..., 2] < 0, -0.01, 0.01), t[..., 2])
     limx = 1.3 * tan_fovx if limit_x is None else limit_x
     limy = 1.3 * tan_fovy if limit_y is None else limit_y
     tx = jnp.clip(t[..., 0] / tz, -limx, limx) * tz
@@ -150,7 +159,11 @@ def conic_and_radius(cov2d: jnp.ndarray):
     det_inv = jnp.where(det != 0.0, 1.0 / det, 0.0)
     conic = jnp.stack([cyy * det_inv, -cxy * det_inv, cxx * det_inv], axis=-1)
     mid = 0.5 * (cxx + cyy)
-    disc = jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
+    # inf - inf (overflown covariances of degenerate rows) would be NaN;
+    # such rows render garbage in the CUDA reference too — just keep finite
+    d2 = mid * mid - det
+    d2 = jnp.where(jnp.isfinite(d2), d2, 0.1)
+    disc = jnp.sqrt(jnp.maximum(0.1, d2))
     lambda1 = mid + disc
     radius = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lambda1, mid - disc)))
     return conic, radius, det

@@ -103,7 +103,14 @@ def sh_to_rgb_color(deg: int, sh: jnp.ndarray, means: jnp.ndarray,
       (N, 3) clamped RGB colors.
     """
     dirs = means - campos[None, :]
-    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    # safe normalize: a Gaussian sitting exactly at the camera is culled by
+    # the near plane anyway, but an unguarded 0-norm here turns the VJP into
+    # NaN for that (alive) row and Adam then poisons it permanently
+    # the guard must sit inside the sqrt: linalg.norm's VJP at the exact
+    # zero vector is 0/0 even when the downstream cotangent is zero
+    norm = jnp.sqrt(jnp.maximum(
+        jnp.sum(dirs * dirs, axis=-1, keepdims=True), 1e-16))
+    dirs = dirs / norm
     return jnp.maximum(eval_sh(deg, sh, dirs) + 0.5, 0.0)
 
 

@@ -22,7 +22,8 @@ def quat_to_rotmat(q: jnp.ndarray, normalize: bool = True) -> jnp.ndarray:
     CUDA forward (which receives already-normalized quats).
     """
     if normalize:
-        q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+        q = q / jnp.sqrt(jnp.maximum(
+            jnp.sum(q * q, axis=-1, keepdims=True), 1e-16))
     r, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
     R = jnp.stack(
         [

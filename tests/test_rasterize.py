@@ -221,3 +221,57 @@ def test_fast_sort_close_to_exact():
     mse = ((a - b) ** 2).mean()
     psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
     assert psnr > 45.0, psnr
+
+
+def test_degenerate_gaussians_keep_finite_gradients():
+    """Rows at the camera plane / at the camera center / with giant scales
+    must never produce NaN gradients (they are culled in forward, but an
+    unguarded VJP would poison alive rows under Adam)."""
+    cam = make_camera(W=24, H=24, dist=4.0)
+    campos = np.asarray(cam.campos)
+    n = 12
+    rng = np.random.default_rng(0)
+    means = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
+    means[0] = campos                       # exactly at the camera
+    means[1] = campos + 1e-6                # epsilon off the camera
+    means[2] = campos * (1 - 0.2 / 4.0)     # near-plane neighborhood
+    means[3] = campos * 2.0                 # behind the camera
+    scales = rng.uniform(0.02, 0.1, (n, 3)).astype(np.float32)
+    scales[4] = 1e9                         # giant splat (overflow chain)
+    scales[5] = 1e-12                       # degenerate small
+    rot = rng.normal(size=(n, 4)).astype(np.float32)
+    rot[6] = 0.0                            # zero quaternion
+    opac = rng.uniform(0.3, 0.9, n).astype(np.float32)
+    shs = rng.normal(size=(n, 4, 3)).astype(np.float32)
+
+    def loss_fn(means, scales, rot, opac, shs):
+        out = rast.rasterize(
+            means, scales, rot, opac, shs, 1, cam, jnp.zeros(3), SETTINGS)
+        return jnp.sum(out.color ** 2) + jnp.sum(out.final_t)
+
+    grads = jax.grad(loss_fn, argnums=(0, 1, 2, 3, 4))(
+        jnp.asarray(means), jnp.asarray(scales), jnp.asarray(rot),
+        jnp.asarray(opac), jnp.asarray(shs))
+    for name, g in zip(["means", "scales", "rot", "opac", "shs"], grads):
+        assert np.isfinite(np.asarray(g)).all(), name
+
+
+def test_dead_padding_slots_never_bin():
+    """Capacity-padding slots (opacity forced to 0) must not produce
+    instances: they would waste buffer space and evict real Gaussians from
+    per-tile caps."""
+    from neuralgaussiansplatting_tpu.models import gaussians as gmod
+    cam = make_camera(W=32, H=32)
+    means, scales, rot, opac, shs = random_gaussians(n=20, deg=0, seed=31)
+    params, state = gmod.create_from_pcd(
+        means, np.random.default_rng(0).random((20, 3)), np.zeros((20, 3)),
+        0, capacity=512)  # 492 dead slots at the origin with exp(0)=1 scales
+    from neuralgaussiansplatting_tpu.gaussian_renderer import render as rfn
+    out = rfn(cam, params, state.alive, 0, jnp.zeros(3), SETTINGS)
+    # only the 20 alive gaussians may contribute instances
+    pre_only_alive = rast.rasterize(
+        jnp.asarray(means), jnp.asarray(np.exp(np.asarray(params.scaling))[:20]),
+        jnp.asarray(np.asarray(params.rotation)[:20]),
+        jnp.full(20, 0.1), jnp.asarray(np.asarray(
+            gmod.get_features(params))[:20]), 0, cam, jnp.zeros(3), SETTINGS)
+    assert int(out["num_rendered"]) == int(pre_only_alive.num_rendered)
