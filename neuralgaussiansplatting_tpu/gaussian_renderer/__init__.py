@@ -108,20 +108,19 @@ def init_decoders(key):
     }
 
 
-def _idx_common(cam, params, capacity):
-    maps = idxmap_ops.render_idxmaps(
-        params.xyz, params.features, cam, capacity)
-    return maps
+def _idx_common(cam, params, capacity, alive=None):
+    return idxmap_ops.render_idxmaps(
+        params.xyz, params.features, cam, capacity, alive)
 
 
 def render1(cam: CameraParams, params: gm.GaussianParams, net_params,
-            capacity: int = 1 << 21, dtype=jnp.float32):
+            capacity: int = 1 << 21, dtype=jnp.float32, alive=None):
     """idxmap -> per-pixel MLP decode (reference render1, :104-210).
 
     Returns the reference's keys; ``radii`` is the all-ones placeholder and
     visibility comes from idxmap>0 exactly as the reference does (:189-192).
     """
-    maps = _idx_common(cam, params, capacity)
+    maps = _idx_common(cam, params, capacity, alive)
     mlp_out = nets.FeatureToRGBMLP(dtype=dtype).apply(
         net_params["mlp"], maps.featuremap)
     return {
@@ -136,10 +135,10 @@ def render1(cam: CameraParams, params: gm.GaussianParams, net_params,
 
 
 def render2(cam: CameraParams, params: gm.GaussianParams, net_params,
-            capacity: int = 1 << 21, dtype=jnp.float32):
+            capacity: int = 1 << 21, dtype=jnp.float32, alive=None):
     """idxmap -> UNet RGB + CNN dynamic 9x9 kernels -> Denoiser
     (reference render2, :214-323)."""
-    maps = _idx_common(cam, params, capacity)
+    maps = _idx_common(cam, params, capacity, alive)
     denoiser_kernels = nets.CNN(dtype=dtype).apply(
         net_params["cnn"], maps.featuremap)
     unet_output = nets.UNet(dtype=dtype).apply(
@@ -159,10 +158,10 @@ def render2(cam: CameraParams, params: gm.GaussianParams, net_params,
 
 
 def render3(cam: CameraParams, params: gm.GaussianParams, net_params,
-            capacity: int = 1 << 21, dtype=jnp.float32):
+            capacity: int = 1 << 21, dtype=jnp.float32, alive=None):
     """idxmap -> MLP aggregation + CNN kernels -> Denoiser
     (reference render3, :326-434)."""
-    maps = _idx_common(cam, params, capacity)
+    maps = _idx_common(cam, params, capacity, alive)
     aggregation = nets.FeatureToRGBMLP(dtype=dtype).apply(
         net_params["mlp"], maps.featuremap)
     denoiser_kernels = nets.CNN(dtype=dtype).apply(

@@ -59,11 +59,14 @@ def compute_idxmap(
     means3d: jnp.ndarray,
     cam: CameraParams,
     capacity: int,
+    alive: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Closest-Gaussian index per pixel.
 
     Returns (idx (H*W,) int32 with -1 misses, depth (N,) view-space z).
-    Geometry is non-differentiable here by reference semantics.
+    Geometry is non-differentiable here by reference semantics. ``alive``
+    masks out capacity-padding slots (they sit at the origin and would win
+    z-buffer pixels).
     """
     means3d = jax.lax.stop_gradient(means3d)
     n = means3d.shape[0]
@@ -85,6 +88,8 @@ def compute_idxmap(
     y1 = jnp.minimum(float(h), fy + radius + 1.0).astype(jnp.int32)
 
     valid = (depth > 0.2) & (cx >= 0) & (cx < w) & (cy >= 0) & (cy < h)
+    if alive is not None:
+        valid = valid & alive
     touched = jnp.where(valid, (x1 - x0) * (y1 - y0), 0)
 
     offsets = jnp.cumsum(touched)
@@ -131,6 +136,7 @@ def render_idxmaps(
     features: jnp.ndarray,
     cam: CameraParams,
     capacity: int = 1 << 21,
+    alive: jnp.ndarray | None = None,
 ) -> IdxMaps:
     """Full GETMAP-equivalent: z-buffer winner + 64-d feature map.
 
@@ -139,7 +145,7 @@ def render_idxmaps(
     Gradients flow to ``features`` alone.
     """
     w, h = cam.width, cam.height
-    idx, depth = compute_idxmap(means3d, cam, capacity)
+    idx, depth = compute_idxmap(means3d, cam, capacity, alive)
     hit = idx >= 0
     safe = jnp.clip(idx, 0, means3d.shape[0] - 1)
 

@@ -29,6 +29,7 @@ class NeuralTrainState(NamedTuple):
     net_params: Any
     opt_state: Any
     step: jnp.ndarray
+    alive: Any = None   # capacity-padding mask (densification is disabled)
 
 
 RENDER_FNS = {1: gr.render1, 2: gr.render2, 3: gr.render3}
@@ -61,7 +62,8 @@ def neural_train_step(ts: NeuralTrainState, cam, gt, *, sw, capacity, txs,
     render_fn = RENDER_FNS[sw]
 
     def loss_fn(params, net_params):
-        out = render_fn(cam, params, net_params, capacity, dtype=dtype)
+        out = render_fn(cam, params, net_params, capacity, dtype=dtype,
+                        alive=ts.alive)
         return losses.photometric_loss(out["render"], gt, lambda_dssim), out
 
     (loss, out), (gp, gn) = jax.value_and_grad(
@@ -79,7 +81,7 @@ def neural_train_step(ts: NeuralTrainState, cam, gt, *, sw, capacity, txs,
         "hit_rate": jnp.mean((out["idxmap"] >= 0).astype(jnp.float32)),
     }
     return NeuralTrainState(params, net_params, (g_state, n_state),
-                            ts.step + 1), metrics
+                            ts.step + 1, ts.alive), metrics
 
 
 class NeuralTrainer:
@@ -101,7 +103,8 @@ class NeuralTrainer:
         n_state = self.txs[1].init(self.net_params)
         self.ts = NeuralTrainState(
             params=gaussians.params, net_params=self.net_params,
-            opt_state=(g_state, n_state), step=jnp.asarray(0))
+            opt_state=(g_state, n_state), step=jnp.asarray(0),
+            alive=gaussians.state.alive)
 
     def step(self, cam, gt_image):
         self.ts, metrics = neural_train_step(

@@ -32,7 +32,8 @@ def render_video_frames(scene, gaussians, net_params, iteration, model_path,
     for mode in modes:
         os.makedirs(os.path.join(outdir, mode), exist_ok=True)
     for fi, cam in enumerate(cams):
-        out = render_fn(cam.params(), gaussians.params, net_params)
+        out = render_fn(cam.params(), gaussians.params, net_params,
+                        alive=gaussians.state.alive)
         for mode in modes:
             if mode == "rgb":
                 img = np.asarray(jnp.clip(out["render"], 0, 1))

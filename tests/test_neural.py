@@ -152,3 +152,19 @@ def test_neural_trainer_mixed_precision():
     gt = jnp.full((3, 16, 16), 0.5)
     m = trainer.step(cam, gt)
     assert np.isfinite(float(m["loss"]))
+
+
+def test_idxmap_alive_mask_excludes_padding():
+    cam = make_camera(W=16, H=16)
+    # one real gaussian off to the side; padding slots sit at the origin
+    # (screen center) and must NOT win any pixel when masked
+    means = np.array([[0.6, 0.6, 0.0]], np.float32)
+    params, state = gm.create_from_pcd(
+        means, np.random.rand(1, 3), np.zeros((1, 3)), 0, capacity=64)
+    idx, _ = idxmap_ops.compute_idxmap(
+        params.xyz, cam, capacity=4096, alive=state.alive)
+    idx = np.asarray(idx)
+    assert set(np.unique(idx)).issubset({-1, 0})
+    # without the mask, origin-sitting padding slots would win center pixels
+    idx2, _ = idxmap_ops.compute_idxmap(params.xyz, cam, capacity=4096)
+    assert (np.unique(np.asarray(idx2)) > 0).any()
