@@ -23,6 +23,8 @@ def mean_sq_dist_3nn(points: np.ndarray) -> np.ndarray:
     contain a closer neighbor), then scipy's KD-tree, then JAX brute force.
     """
     points = np.asarray(points, dtype=np.float32)
+    if len(points) < 2:
+        return np.zeros(len(points), np.float32)
     from neuralgaussiansplatting_tpu import native
     if len(points) > 4:
         res = native.knn_mean_dist3(points)
@@ -31,9 +33,9 @@ def mean_sq_dist_3nn(points: np.ndarray) -> np.ndarray:
     try:
         from scipy.spatial import cKDTree
         tree = cKDTree(points)
-        # k=4: the first neighbor of each point is itself at distance 0.
+        # k<=4: the first neighbor of each point is itself at distance 0.
         d, _ = tree.query(points, k=min(4, len(points)))
-        d2 = d[:, 1:] ** 2
+        d2 = np.atleast_2d(d)[:, 1:] ** 2
         return d2.mean(axis=1).astype(np.float32)
     except ImportError:
         return _brute_force_3nn(points)
