@@ -27,9 +27,10 @@ def main():
     W = H = 800  # NeRF-synthetic lego resolution (config 2)
     N = 100_000
     params, state, cam = _demo_scene(n=N, w=W, h=H, sh_degree=3)
-    settings = rast.RasterizeSettings(capacity=1 << 21, max_per_tile=2048,
+    settings = rast.RasterizeSettings(capacity=1216 * 1024, max_per_tile=2048,
                                       chunk=128, backend="pallas",
-                                      fast_sort=True)
+                                      fast_sort=True, tight_culling=True,
+                                      packed_capacity=1344 * 1024)
     bg = jnp.zeros(3, jnp.float32)
     gt = jnp.zeros((3, H, W), jnp.float32)
 

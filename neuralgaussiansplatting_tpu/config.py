@@ -47,6 +47,9 @@ class PipelineParams:
     backend: str = "pallas"        # "pallas" | "xla" blend path
     capacity: int = 1 << 20        # instance buffer (static, monitored)
     max_per_tile: int = 4096       # per-tile depth cap
+    tight_culling: bool = True     # opacity-adaptive rects (image-exact; see
+                                   # ops/preprocess.py — only diagnostic
+                                   # n_contrib / demand monitors shrink)
     _shorthands: dict = dataclasses.field(default_factory=dict)
 
 
@@ -89,8 +92,17 @@ def add_group(parser: ArgumentParser, cls, fill_none: bool = False):
         if f.name in shorthands:
             names.append(f"-{shorthands[f.name]}")
         if f.type in ("bool", bool):
-            parser.add_argument(*names, action="store_true",
-                                default=default)
+            if f.default is True:
+                # store_true can never switch a default-True flag off; give
+                # such flags (TPU extensions only — every reference flag
+                # defaults False) a --no-* companion.
+                import argparse
+                parser.add_argument(*names,
+                                    action=argparse.BooleanOptionalAction,
+                                    default=default)
+            else:
+                parser.add_argument(*names, action="store_true",
+                                    default=default)
         else:
             typ = {"int": int, "float": float, "str": str}.get(f.type, None)
             if typ is None:

@@ -82,6 +82,7 @@ def render(
         "n_contrib": out.n_contrib,
         "num_rendered": out.num_rendered,
         "max_per_tile": out.max_per_tile,
+        "aligned_demand": out.aligned_demand,
     }
 
 

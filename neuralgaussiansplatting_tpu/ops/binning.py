@@ -49,6 +49,8 @@ class Instances(NamedTuple):
     tile_count: jnp.ndarray   # (T,) int32 effective instance count per tile
     num_rendered: jnp.ndarray # () int32 true demand (may exceed K)
     max_tile_load: jnp.ndarray  # () int32 max true per-tile demand
+    aligned_demand: jnp.ndarray  # () int32 aligned packed-buffer demand
+                                 # (pre-drop; sizes packed_capacity)
 
 
 def _expand_runs(fields: jnp.ndarray, starts: jnp.ndarray,
@@ -68,7 +70,8 @@ def _expand_runs(fields: jnp.ndarray, starts: jnp.ndarray,
 
 def bin_gaussians(pre: Preprocessed, tiles_x: int, tiles_y: int,
                   capacity: int, max_per_tile: int, align: int,
-                  pack_keys: bool = False) -> Instances:
+                  pack_keys: bool = False,
+                  packed_capacity: int | None = None) -> Instances:
     """Expand Gaussians into depth-sorted, chunk-aligned per-tile instances.
 
     ``pack_keys``: pack [tile | quantized-depth] into a single int32 sort key
@@ -76,6 +79,14 @@ def bin_gaussians(pre: Preprocessed, tiles_x: int, tiles_y: int,
     top (31 - ceil_log2(T+1)) bits — nearly-coincident splats may swap blend
     order vs the exact path (sub-1e-3 image differences); leave False for
     reference-exact ordering.
+
+    ``packed_capacity``: size of the *output* (aligned, tile-packed) buffer.
+    ``capacity`` sizes the expansion/sort domain, whose sort pads to the next
+    power of two internally anyway; the packed buffer feeds the gather,
+    blend kernels, and the gradient scatter, which all scale linearly with
+    its true size — so a tighter (aligned-demand-sized) packed buffer is
+    pure savings. Defaults to ``capacity`` (the historical single-buffer
+    layout).
     """
     n = pre.tiles_touched.shape[0]
     num_tiles = tiles_x * tiles_y
@@ -132,11 +143,13 @@ def bin_gaussians(pre: Preprocessed, tiles_x: int, tiles_y: int,
     raw_count = raw_end - raw_start
 
     # --- aligned re-pack ---------------------------------------------------
+    kcap = capacity if packed_capacity is None else packed_capacity
     count_eff = jnp.minimum(raw_count, max_per_tile)
     seg = ((count_eff + align - 1) // align) * align
     seg_end = jnp.cumsum(seg)
     aligned_start = seg_end - seg
-    drop = seg_end > capacity          # conservative whole-tile drop
+    aligned_demand = seg_end[num_tiles - 1]
+    drop = seg_end > kcap              # conservative whole-tile drop
     count_eff = jnp.where(drop, 0, count_eff)
     seg = jnp.where(drop, 0, seg)
     seg_end = jnp.cumsum(seg)
@@ -144,10 +157,11 @@ def bin_gaussians(pre: Preprocessed, tiles_x: int, tiles_y: int,
     total = seg_end[num_tiles - 1]
 
     # per-aligned-slot tile fields via the same run-length expansion
+    kslots = jnp.arange(kcap, dtype=jnp.int32)
     tfields = jnp.stack([aligned_start, count_eff, raw_start], axis=1)
-    ex2 = _expand_runs(tfields, aligned_start, capacity)
-    local2 = slots - ex2[:, 0]
-    valid = (slots < total) & (local2 < ex2[:, 1])
+    ex2 = _expand_runs(tfields, aligned_start, kcap)
+    local2 = kslots - ex2[:, 0]
+    valid = (kslots < total) & (local2 < ex2[:, 1])
     src = jnp.clip(ex2[:, 2] + local2, 0, capacity - 1)
     gid_aligned = jnp.where(valid, sorted_gid[src], n).astype(jnp.int32)
 
@@ -158,4 +172,5 @@ def bin_gaussians(pre: Preprocessed, tiles_x: int, tiles_y: int,
         tile_count=count_eff,
         num_rendered=num_rendered,
         max_tile_load=jnp.max(raw_count),
+        aligned_demand=aligned_demand,
     )

@@ -164,6 +164,7 @@ def preprocess_gaussians(
     scale_modifier: float = 1.0,
     cov3d_precomp: jnp.ndarray | None = None,
     colors_precomp: jnp.ndarray | None = None,
+    tight: bool = False,
 ) -> Preprocessed:
     """Vectorized preprocess of N Gaussians for one camera.
 
@@ -203,6 +204,9 @@ def preprocess_gaussians(
         cov2d = jnp.stack([cxx, cxy, cyy], axis=-1)
     conic, radius, det = proj.conic_and_radius(cov2d)
 
+    # Validity / radii always use the reference's square 3-sigma rect so the
+    # public radii/visibility semantics match the CUDA implementation
+    # (forward.cu:190-236) regardless of the tight-culling optimization.
     rect_min, rect_max = proj.tile_rect(
         means2d, radius, tiles_x, tiles_y, block_x, block_y
     )
@@ -218,7 +222,52 @@ def preprocess_gaussians(
     valid = (in_front & (det != 0.0) & (rect_w * rect_h > 0)
              & (opacities > 0.0))
     radii = jnp.where(valid, radius, 0.0).astype(jnp.int32)
-    tiles = jnp.where(valid, rect_w * rect_h, 0).astype(jnp.int32)
+
+    if tight:
+        # Opacity-adaptive per-axis extents (image- and gradient-exact).
+        # The blend kernel zeroes any contribution with alpha < 1/255
+        # (forward.cu:351), and the largest |dx| on the alpha = 1/255 level
+        # set of alpha = op*exp(-0.5 d^T Sigma^{-1} d) is
+        # sqrt(2*ln(255*op) * Sigma_xx) (bbox of an ellipse from its
+        # covariance diagonal). Any pixel outside the per-axis box therefore
+        # contributes exactly zero in forward AND backward, so intersecting
+        # the reference's square rect with this box drops only dead
+        # instances. Only the diagnostic n_contrib (an index into the
+        # per-tile list, reference backward.cu's `contributor`) and the
+        # num_rendered/max_per_tile monitors shrink.
+        two_l = 2.0 * jnp.log(jnp.maximum(opacities, 1e-12) * 255.0)
+        pos = two_l > 0.0
+        two_l = jnp.maximum(two_l, 0.0)
+        ext_x = jnp.where(
+            pos, jnp.minimum(radius, jnp.ceil(
+                jnp.sqrt(jnp.maximum(two_l * cov2d[..., 0], 0.0)))),
+            0.0)
+        ext_y = jnp.where(
+            pos, jnp.minimum(radius, jnp.ceil(
+                jnp.sqrt(jnp.maximum(two_l * cov2d[..., 2], 0.0)))),
+            0.0)
+        # Exact-coverage rect of the per-axis box, intersected with the
+        # reference rect. (The reference's own +BLOCK-1 exclusive-max formula
+        # under-covers pixels at |d| <= r when floor(p+r) lands on a tile
+        # boundary — harmless there because it defines ground truth, but our
+        # ext is fractional, so use floor(p+ext)+1 which covers every integer
+        # pixel with |pix - p| <= ext, then clip into the reference rect.)
+        x, y = means2d[..., 0], means2d[..., 1]
+        tmin_x = jnp.maximum(rect_min[..., 0], jnp.clip(
+            jnp.floor((x - ext_x) / block_x), 0, tiles_x).astype(jnp.int32))
+        tmin_y = jnp.maximum(rect_min[..., 1], jnp.clip(
+            jnp.floor((y - ext_y) / block_y), 0, tiles_y).astype(jnp.int32))
+        tmax_x = jnp.minimum(rect_max[..., 0], jnp.clip(
+            jnp.floor((x + ext_x) / block_x) + 1, 0, tiles_x).astype(jnp.int32))
+        tmax_y = jnp.minimum(rect_max[..., 1], jnp.clip(
+            jnp.floor((y + ext_y) / block_y) + 1, 0, tiles_y).astype(jnp.int32))
+        rect_min = jnp.stack([tmin_x, tmin_y], axis=-1)
+        rect_max = jnp.stack([tmax_x, tmax_y], axis=-1)
+        rect_w = jnp.maximum(tmax_x - tmin_x, 0)
+        rect_h = jnp.maximum(tmax_y - tmin_y, 0)
+        tiles = jnp.where(valid & pos, rect_w * rect_h, 0).astype(jnp.int32)
+    else:
+        tiles = jnp.where(valid, rect_w * rect_h, 0).astype(jnp.int32)
 
     if colors_precomp is not None:
         rgb = colors_precomp

@@ -170,18 +170,21 @@ def conic_and_radius(cov2d: jnp.ndarray):
 
 
 def tile_rect(point_image: jnp.ndarray, radius: jnp.ndarray,
-              tiles_x: int, tiles_y: int, block_x: int, block_y: int):
+              tiles_x: int, tiles_y: int, block_x: int, block_y: int,
+              radius_y: jnp.ndarray | None = None):
     """Tile-space bounding rect of a splat. Reference auxiliary.h:46-56.
 
     Returns (rect_min (N,2) int32, rect_max (N,2) int32), exclusive max,
     clipped to the tile grid; matches CUDA int-division semantics for
-    non-negative operands after the clamping.
+    non-negative operands after the clamping. ``radius_y`` allows per-axis
+    extents (tight culling); default is the reference's square rect.
     """
     x, y = point_image[..., 0], point_image[..., 1]
+    ry = radius if radius_y is None else radius_y
     rmin_x = jnp.clip(jnp.floor((x - radius) / block_x), 0, tiles_x).astype(jnp.int32)
-    rmin_y = jnp.clip(jnp.floor((y - radius) / block_y), 0, tiles_y).astype(jnp.int32)
+    rmin_y = jnp.clip(jnp.floor((y - ry) / block_y), 0, tiles_y).astype(jnp.int32)
     rmax_x = jnp.clip(jnp.floor((x + radius + block_x - 1) / block_x), 0, tiles_x).astype(jnp.int32)
-    rmax_y = jnp.clip(jnp.floor((y + radius + block_y - 1) / block_y), 0, tiles_y).astype(jnp.int32)
+    rmax_y = jnp.clip(jnp.floor((y + ry + block_y - 1) / block_y), 0, tiles_y).astype(jnp.int32)
     return (jnp.stack([rmin_x, rmin_y], -1), jnp.stack([rmax_x, rmax_y], -1))
 
 

@@ -44,6 +44,14 @@ class RasterizeSettings:
     backend: str = "pallas"        # "pallas" | "xla"
     scale_modifier: float = 1.0
     fast_sort: bool = False        # packed [tile|depth] key (see binning)
+    tight_culling: bool = False    # opacity-adaptive per-axis rects (see
+                                   # ops/preprocess.py; image/grad-exact, only
+                                   # n_contrib + demand monitors shrink)
+    packed_capacity: int | None = None  # aligned output buffer size; the
+                                   # sort domain pads to pow2 internally, so
+                                   # sizing this to true aligned demand cuts
+                                   # the gather/kernel/scatter stages (see
+                                   # ops/binning.py). None => capacity.
 
     @property
     def tiles(self):
@@ -63,6 +71,8 @@ class RenderOutput(NamedTuple):
     radii: jnp.ndarray        # (N,) int32 (0 => culled); visibility = radii > 0
     num_rendered: jnp.ndarray # () int32 true instance count (overflow monitor)
     max_per_tile: jnp.ndarray # () int32 max true per-tile load (cap monitor)
+    aligned_demand: jnp.ndarray  # () int32 packed-buffer demand (sizes
+                                 # settings.packed_capacity)
 
 
 def mark_visible(means3d: jnp.ndarray, cam: pp.CameraParams) -> jnp.ndarray:
@@ -98,6 +108,7 @@ def rasterize(
         means3d, scales, rotations, opacities, shs, sh_degree, cam,
         settings.block_x, settings.block_y, settings.scale_modifier,
         cov3d_precomp=cov3d_precomp, colors_precomp=colors_precomp,
+        tight=settings.tight_culling,
     )
     if means2d_offset is not None:
         # NDC-scale offset => pixel shift of offset * size / 2 (see docstring).
@@ -108,7 +119,8 @@ def rasterize(
 
     inst = binning.bin_gaussians(
         pre, tiles_x, tiles_y, settings.capacity, settings.max_per_tile,
-        settings.chunk, pack_keys=settings.fast_sort)
+        settings.chunk, pack_keys=settings.fast_sort,
+        packed_capacity=settings.packed_capacity)
 
     if settings.backend == "pallas":
         from neuralgaussiansplatting_tpu.ops import blend_pallas
@@ -144,4 +156,5 @@ def rasterize(
         radii=pre.radii,
         num_rendered=inst.num_rendered,
         max_per_tile=inst.max_tile_load,
+        aligned_demand=inst.aligned_demand,
     )

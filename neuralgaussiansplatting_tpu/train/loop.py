@@ -71,6 +71,7 @@ def train_step(ts: TrainState, cam, gt, bg, *, tx, sh_degree, settings,
         "psnr": losses.psnr(jnp.clip(out["render"], 0, 1), gt),
         "num_rendered": out["num_rendered"],
         "max_per_tile": out["max_per_tile"],
+        "aligned_demand": out["aligned_demand"],
         "radii_max": jnp.max(out["radii"]),
     }
     return TrainState(params, gstate, opt_state, ts.step + 1), metrics
@@ -180,6 +181,21 @@ class Trainer:
                 self.settings = dataclasses.replace(
                     self.settings, capacity=want)
                 metrics["retuned_capacity"] = want
+            # the packed (post-sort, chunk-aligned) buffer feeds the gather /
+            # blend kernels / gradient scatter, which scale with its TRUE
+            # size (no internal pow2 padding like the sort) — bucket it to
+            # 1/8ths between pow2s for finer fit
+            ademand = int(metrics["aligned_demand"])
+            kcap = self.settings.packed_capacity or self.settings.capacity
+            quantum = max(1 << max(int(ademand * 1.25) - 1, 1).bit_length() - 3,
+                          self.min_capacity // 8)
+            kwant = min(max(self.min_capacity,
+                            -(-int(ademand * 1.25) // quantum) * quantum),
+                        self.max_capacity)
+            if kwant > kcap or kwant < kcap // 2:
+                self.settings = dataclasses.replace(
+                    self.settings, packed_capacity=kwant)
+                metrics["retuned_packed_capacity"] = kwant
 
         if self.debug and (self.debug_from < 0 or iteration >= self.debug_from):
             import math

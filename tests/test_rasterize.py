@@ -275,3 +275,47 @@ def test_dead_padding_slots_never_bin():
         jnp.full(20, 0.1), jnp.asarray(np.asarray(
             gmod.get_features(params))[:20]), 0, cam, jnp.zeros(3), SETTINGS)
     assert int(out["num_rendered"]) == int(pre_only_alive.num_rendered)
+
+
+def test_tight_culling_image_and_grad_exact():
+    """Opacity-adaptive tight rects + a split packed buffer must reproduce
+    the reference-rect render exactly up to f32 reassociation: the dropped
+    instances all fail the kernel's alpha >= 1/255 cutoff (forward.cu:351),
+    so they contribute zero in forward AND backward."""
+    cam = make_camera(W=64, H=48)
+    means, scales, rot, opac, shs = random_gaussians(n=250, deg=1, seed=11)
+    # mix in very low opacities to exercise the adaptive extents
+    opac = np.asarray(opac).copy()
+    opac[::3] = 0.01
+    opac[1::7] = 0.003  # below 1/255: contributes nothing anywhere
+
+    loose = rast.RasterizeSettings(capacity=1 << 15, max_per_tile=512,
+                                   chunk=16)
+    tight = rast.RasterizeSettings(capacity=1 << 15, max_per_tile=512,
+                                   chunk=16, tight_culling=True,
+                                   packed_capacity=(1 << 14) + (1 << 13))
+
+    def run(settings):
+        def loss_fn(m, s, r, o, sh):
+            out = rast.rasterize(m, s, r, o, sh, 1, cam, jnp.zeros(3),
+                                 settings)
+            return jnp.sum(out.color ** 2) + jnp.sum(out.final_t ** 2)
+        args = (jnp.asarray(means), jnp.asarray(scales), jnp.asarray(rot),
+                jnp.asarray(opac), jnp.asarray(shs))
+        out = rast.rasterize(*args, 1, cam, jnp.zeros(3), settings)
+        grads = jax.grad(loss_fn, argnums=(0, 1, 2, 3, 4))(*args)
+        return out, grads
+
+    out_l, g_l = run(loose)
+    out_t, g_t = run(tight)
+    assert int(out_t.num_rendered) < int(out_l.num_rendered)
+    np.testing.assert_allclose(np.asarray(out_t.color),
+                               np.asarray(out_l.color), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_t.final_t),
+                               np.asarray(out_l.final_t), atol=1e-5)
+    # radii/visibility keep reference semantics regardless of tight culling
+    np.testing.assert_array_equal(np.asarray(out_t.radii),
+                                  np.asarray(out_l.radii))
+    for a, b in zip(g_l, g_t):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=1e-3)

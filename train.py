@@ -137,7 +137,8 @@ def main():
 
     settings = rast.RasterizeSettings(
         capacity=pipe.capacity, max_per_tile=pipe.max_per_tile,
-        backend=pipe.backend, chunk=128 if pipe.backend == "pallas" else 32)
+        backend=pipe.backend, chunk=128 if pipe.backend == "pallas" else 32,
+        tight_culling=pipe.tight_culling)
     opt = optim.OptimizationParams(
         **{f: getattr(opt_args, f) for f in (
             "iterations", "position_lr_init", "position_lr_final",
