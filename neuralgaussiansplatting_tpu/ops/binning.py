@@ -53,6 +53,28 @@ class Instances(NamedTuple):
                                  # (pre-drop; sizes packed_capacity)
 
 
+def _blocked_cumsum_i32(x: jnp.ndarray, block: int = 1024) -> jnp.ndarray:
+    """Exact wrapping-int32 inclusive cumsum along axis 0, two-level.
+
+    XLA lowers a flat (K, F) cumsum to ~log2(K) full-array shift passes; the
+    two-level decomposition (in-block scan + tiny block-prefix scan) does
+    ~log2(block) passes over the data plus negligible block math — int32
+    addition wraps associatively, so the result is bit-exact either way.
+    """
+    k = x.shape[0]
+    nb = -(-k // block)
+    pad = nb * block - k
+    if pad:
+        x = jnp.concatenate(
+            [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
+    xb = x.reshape((nb, block) + x.shape[1:])
+    within = jnp.cumsum(xb, axis=1)
+    totals = within[:, -1]
+    prefix = jnp.cumsum(totals, axis=0) - totals
+    out = within + prefix[:, None]
+    return out.reshape((nb * block,) + x.shape[1:])[:k]
+
+
 def _expand_runs(fields: jnp.ndarray, starts: jnp.ndarray,
                  capacity: int) -> jnp.ndarray:
     """Expand per-run constant rows to per-slot rows (see module docstring).
@@ -65,7 +87,7 @@ def _expand_runs(fields: jnp.ndarray, starts: jnp.ndarray,
     diffs = jnp.concatenate([fields[:1], fields[1:] - fields[:-1]], axis=0)
     buf = jnp.zeros((capacity,) + fields.shape[1:], jnp.int32)
     buf = buf.at[starts].add(diffs, mode="drop")
-    return jnp.cumsum(buf, axis=0)  # wrapping int32 => exact telescoping
+    return _blocked_cumsum_i32(buf)  # wrapping int32 => exact telescoping
 
 
 def bin_gaussians(pre: Preprocessed, tiles_x: int, tiles_y: int,

@@ -35,11 +35,13 @@ def main():
 
     W = H = int(os.environ.get("PROF_W", 800))
     N = int(os.environ.get("PROF_N", 100_000))
-    CAP = 1 << int(os.environ.get("PROF_CAP_LOG2", 21))
+    CAP = int(os.environ.get("PROF_CAP", 1216 * 1024))
     params, state, cam_obj = _demo_scene(n=N, w=W, h=H, sh_degree=3)
+    KCAP = int(os.environ.get("PROF_KCAP", 1344 * 1024))
     settings = rast.RasterizeSettings(capacity=CAP, max_per_tile=2048,
                                       chunk=128, backend="pallas",
-                                      fast_sort=True)
+                                      fast_sort=True, tight_culling=True,
+                                      packed_capacity=KCAP)
     bg = jnp.zeros(3, jnp.float32)
     gt = jnp.zeros((3, H, W), jnp.float32)
     tiles_x, tiles_y = settings.tiles_for(W, H)
@@ -84,7 +86,8 @@ def main():
 
     @jax.jit
     def stage_pre(m, s, r, o, sh):
-        return pp.preprocess_gaussians(m, s, r, o, sh, 3, camp, 16, 16, 1.0)
+        return pp.preprocess_gaussians(m, s, r, o, sh, 3, camp, 16, 16, 1.0,
+                                       tight=True)
 
     pre = stage_pre(means3d, scales, rots, opac, shs)
     jax.block_until_ready(pre)
@@ -94,7 +97,7 @@ def main():
     @jax.jit
     def stage_bin(pre):
         return binning.bin_gaussians(pre, tiles_x, tiles_y, CAP, 2048, 128,
-                                     pack_keys=True)
+                                     pack_keys=True, packed_capacity=KCAP)
     inst = stage_bin(pre)
     jax.block_until_ready(inst)
     print(f"  num_rendered={int(inst.num_rendered)} max_tile={int(inst.max_tile_load)}")
