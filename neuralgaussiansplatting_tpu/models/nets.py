@@ -9,8 +9,9 @@ predictor with its middle layers commented out upstream), ``PureCNN``
 All modules take a single (H, W, C) image (the reference constraint) in NHWC;
 convolutions run on the MXU. Weight init is Kaiming-normal (fan_in) with zero
 bias, matching ``nn.init.kaiming_normal_`` defaults (fan_in, ReLU gain).
-The Denoiser's ``F.unfold`` + per-pixel 9x9 weighted sum becomes
-``conv_general_dilated_patches`` + an einsum — one fused contraction on TPU.
+The Denoiser's ``F.unfold`` + per-pixel 9x9 weighted sum becomes an unrolled
+shift-multiply-accumulate that XLA fuses into a single VPU pass (see
+``denoise``).
 """
 
 from __future__ import annotations
@@ -18,7 +19,6 @@ from __future__ import annotations
 from typing import Any
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 # torch kaiming_normal_ default: fan_in mode, gain sqrt(2) (leaky_relu a=0)
@@ -165,12 +165,15 @@ def denoise(unet_out: jnp.ndarray, cnn_out: jnp.ndarray,
     k = kernel_size
     pad = k // 2
     img = jnp.pad(unet_out, ((pad, pad), (pad, pad), (0, 0)), mode="reflect")
-    # (1, C, H, W) -> patches (1, C*k*k, H, W) ordered [c, ky, kx] like unfold
-    patches = jax.lax.conv_general_dilated_patches(
-        img[None].transpose(0, 3, 1, 2),
-        filter_shape=(k, k), window_strides=(1, 1), padding="VALID",
-    )  # (1, 3*k*k, H, W)
-    patches = patches.reshape(3, k * k, h, w)
     kernels = cnn_out.reshape(h, w, k * k)
-    out = jnp.einsum("ckhw,hwk->hwc", patches, kernels)
+    # Unrolled shift-multiply-accumulate over the k*k taps (tap i = ky*k+kx,
+    # torch-unfold order). XLA fuses all taps into one pass; this avoids
+    # materializing the (3*k*k, H, W) patch tensor (622 MB at 800p) that a
+    # conv_general_dilated_patches formulation writes out, and keeps the
+    # contraction in f32 on the VPU (einsum would route it through the MXU
+    # at bf16 default precision). ~13x faster fwd+bwd on v5e.
+    out = jnp.zeros_like(unet_out)
+    for i in range(k * k):
+        dy, dx = i // k, i % k
+        out = out + img[dy:dy + h, dx:dx + w, :] * kernels[:, :, i:i + 1]
     return out
