@@ -75,6 +75,37 @@ def _blocked_cumsum_i32(x: jnp.ndarray, block: int = 1024) -> jnp.ndarray:
     return out.reshape((nb * block,) + x.shape[1:])[:k]
 
 
+def _gather_aligned_runs(values: jnp.ndarray, base: jnp.ndarray,
+                         block: int) -> jnp.ndarray:
+    """Blocked gather for piecewise-contiguous indices.
+
+    out[i*block + m] = values[base[i] + m] for m in [0, block). Requires that
+    each output block of ``block`` slots reads a *consecutive* run of source
+    slots (true for the aligned repack: every tile segment starts at a
+    multiple of the alignment, and block divides it).
+
+    A generic XLA minor-axis gather pays a serial per-index cost (~7 ns/elem
+    on v5e => 34 ms for a 4.6M int32 gather at 1080p); fetching whole
+    ``block``-wide rows and aligning with a log2(block) barrel shift
+    amortizes that to ~1 ms for the same volume (measured 31x).
+    """
+    b = block
+    npad = (-values.shape[0]) % b + 2 * b
+    v = jnp.concatenate(
+        [values, jnp.zeros((npad,), values.dtype)]).reshape(-1, b)
+    nrows = v.shape[0]
+    base_c = jnp.clip(base, 0, (nrows - 2) * b)
+    r = base_c // b
+    o = base_c % b
+    buf = jnp.concatenate([v[r], v[r + 1]], axis=1)       # (nb, 2b)
+    sh = 1
+    while sh < b:
+        rolled = jnp.roll(buf, -sh, axis=1)
+        buf = jnp.where((o & sh).astype(bool)[:, None], rolled, buf)
+        sh *= 2
+    return buf[:, :b].reshape(base.shape[0] * b)
+
+
 def _expand_runs(fields: jnp.ndarray, starts: jnp.ndarray,
                  capacity: int) -> jnp.ndarray:
     """Expand per-run constant rows to per-slot rows (see module docstring).
@@ -184,8 +215,18 @@ def bin_gaussians(pre: Preprocessed, tiles_x: int, tiles_y: int,
     ex2 = _expand_runs(tfields, aligned_start, kcap)
     local2 = kslots - ex2[:, 0]
     valid = (kslots < total) & (local2 < ex2[:, 1])
-    src = jnp.clip(ex2[:, 2] + local2, 0, capacity - 1)
-    gid_aligned = jnp.where(valid, sorted_gid[src], n).astype(jnp.int32)
+    block = 128
+    while block > 1 and (align % block or kcap % block):
+        block //= 2
+    if block > 1:
+        # each aligned block reads a consecutive sorted-domain run => use the
+        # blocked gather (out-of-range bases are clamped; `valid` masks them)
+        base = ex2[::block, 2] + (kslots[::block] - ex2[::block, 0])
+        gathered = _gather_aligned_runs(sorted_gid, base, block)
+    else:
+        src = jnp.clip(ex2[:, 2] + local2, 0, capacity - 1)
+        gathered = sorted_gid[src]
+    gid_aligned = jnp.where(valid, gathered, n).astype(jnp.int32)
 
     return Instances(
         gid=gid_aligned,

@@ -36,7 +36,10 @@ def chain(make_body, x0, iters=8, reps=3):
         def step(i, x):
             return body(x, s + i.astype(jnp.float32) * 1e-30)
         out = lax.fori_loop(0, n, step, x)
-        return jnp.sum(jax.flatten_util.ravel_pytree(out)[0][:8])
+        # Checksum must consume every carry leaf or XLA DCEs whole branches
+        # of the loop body (e.g. leaves the updates never reach).
+        return sum(jnp.sum(l.ravel()[::max(1, l.size // 64)].astype(
+            jnp.float32)) for l in jax.tree.leaves(out))
 
     float(run(x0, 0.0, iters))
     float(run(x0, 0.0, 1))
