@@ -150,25 +150,30 @@ def bin_gaussians(pre: Preprocessed, tiles_x: int, tiles_y: int,
     starts = offsets - tiles_touched             # exclusive prefix sum
 
     # --- run-length expansion of per-Gaussian fields to instance slots ----
+    # The three tile-rect fields pack into one int32 column (10 bits each —
+    # tile grids beyond 1023x1023 would need 16K-pixel frames): expansion
+    # traffic is proportional to the column count, and the telescoping
+    # reconstruction is exact for any packed linear combination.
+    assert tiles_x < 1024 and tiles_y < 1024  # rect fields clip to [0, tiles]
     rect_w = jnp.maximum(pre.rect_max[:, 0] - pre.rect_min[:, 0], 1)
+    packed_rect = (pre.rect_min[:, 0] * (1 << 20)
+                   + pre.rect_min[:, 1] * (1 << 10) + rect_w)
     depth_bits = jax.lax.bitcast_convert_type(
         pre.depths.astype(jnp.float32), jnp.int32)  # positive => monotone
     fields = jnp.stack([
         jnp.arange(n, dtype=jnp.int32),   # 0: gid
         starts,                            # 1: run start
-        pre.rect_min[:, 0],                # 2: rect min x
-        pre.rect_min[:, 1],                # 3: rect min y
-        rect_w,                            # 4: rect width
-        depth_bits,                        # 5: depth key
+        packed_rect,                       # 2: [min_x | min_y | width]
+        depth_bits,                        # 3: depth key
     ], axis=1).astype(jnp.int32)
     ex = _expand_runs(fields, starts, capacity)
 
     slots = jnp.arange(capacity, dtype=jnp.int32)
     in_range = slots < num_rendered
     local = slots - ex[:, 1]
-    rw = jnp.maximum(ex[:, 4], 1)
-    tx = ex[:, 2] + local % rw
-    ty = ex[:, 3] + local // rw
+    rw = jnp.maximum(ex[:, 2] & 1023, 1)
+    tx = jax.lax.shift_right_logical(ex[:, 2], 20) + local % rw
+    ty = (jax.lax.shift_right_logical(ex[:, 2], 10) & 1023) + local // rw
     tile = jnp.where(in_range, ty * tiles_x + tx, num_tiles).astype(jnp.int32)
     gid_slot = jnp.where(in_range, ex[:, 0], n)
 
@@ -176,7 +181,7 @@ def bin_gaussians(pre: Preprocessed, tiles_x: int, tiles_y: int,
     if pack_keys:
         tile_bits = max(int(num_tiles + 1).bit_length(), 1)
         depth_bits_kept = 31 - tile_bits
-        dq = jax.lax.shift_right_logical(ex[:, 5], 31 - depth_bits_kept)
+        dq = jax.lax.shift_right_logical(ex[:, 3], 31 - depth_bits_kept)
         key = tile * (1 << depth_bits_kept) + dq
         key = jnp.where(in_range, key, jnp.iinfo(jnp.int32).max)
         sorted_key, sorted_gid = jax.lax.sort((key, gid_slot), num_keys=1)
@@ -184,7 +189,7 @@ def bin_gaussians(pre: Preprocessed, tiles_x: int, tiles_y: int,
             sorted_key == jnp.iinfo(jnp.int32).max, num_tiles,
             jax.lax.shift_right_logical(sorted_key, depth_bits_kept))
     else:
-        dkey = jnp.where(in_range, ex[:, 5], jnp.iinfo(jnp.int32).max)
+        dkey = jnp.where(in_range, ex[:, 3], jnp.iinfo(jnp.int32).max)
         sorted_tile, _, sorted_gid = jax.lax.sort(
             (tile, dkey, gid_slot), num_keys=2)
 
@@ -209,23 +214,25 @@ def bin_gaussians(pre: Preprocessed, tiles_x: int, tiles_y: int,
     aligned_start = seg_end - seg
     total = seg_end[num_tiles - 1]
 
-    # per-aligned-slot tile fields via the same run-length expansion
+    # Per-aligned-slot tile fields via the same run-length expansion, in
+    # *difference form* (2 columns instead of {start, count, raw_start}):
+    # src = kslot + (raw_start - aligned_start), and a slot is live while
+    # src < raw_start + count_eff.
     kslots = jnp.arange(kcap, dtype=jnp.int32)
-    tfields = jnp.stack([aligned_start, count_eff, raw_start], axis=1)
+    tfields = jnp.stack(
+        [raw_start - aligned_start, raw_start + count_eff], axis=1)
     ex2 = _expand_runs(tfields, aligned_start, kcap)
-    local2 = kslots - ex2[:, 0]
-    valid = (kslots < total) & (local2 < ex2[:, 1])
+    src = kslots + ex2[:, 0]
+    valid = (kslots < total) & (src < ex2[:, 1])
     block = 128
     while block > 1 and (align % block or kcap % block):
         block //= 2
     if block > 1:
         # each aligned block reads a consecutive sorted-domain run => use the
         # blocked gather (out-of-range bases are clamped; `valid` masks them)
-        base = ex2[::block, 2] + (kslots[::block] - ex2[::block, 0])
-        gathered = _gather_aligned_runs(sorted_gid, base, block)
+        gathered = _gather_aligned_runs(sorted_gid, src[::block], block)
     else:
-        src = jnp.clip(ex2[:, 2] + local2, 0, capacity - 1)
-        gathered = sorted_gid[src]
+        gathered = sorted_gid[jnp.clip(src, 0, capacity - 1)]
     gid_aligned = jnp.where(valid, gathered, n).astype(jnp.int32)
 
     return Instances(
