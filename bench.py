@@ -6,20 +6,22 @@ North-star metric (BASELINE.md): Mpixels/s of a full render+backward step per
 chip. The reference's in-tree claim is >= 30 fps @ 1080p *forward-only* on an
 RTX-class GPU; a fwd+bwd training step at 30 fps/1080p corresponds to
 1920*1080*30 / 1e6 = 62.2 Mpix/s, which we use as the baseline denominator.
+
+Timing methodology: N steps chained inside one jit via ``lax.fori_loop``
+(each step's params perturbed by the previous step's gradients so nothing is
+loop-invariant), one host sync, minus a 1-step run — pure device throughput,
+free of the host-tunnel dispatch latency (see tools/chain_bench.py).
 """
 
 import json
-import math
 import time
-
-import numpy as np
 
 
 def main():
     import jax
     import jax.numpy as jnp
+    from jax import lax
     from neuralgaussiansplatting_tpu.gaussian_renderer import render
-    from neuralgaussiansplatting_tpu.models import gaussians as gm
     from neuralgaussiansplatting_tpu.ops import rasterize as rast
     from neuralgaussiansplatting_tpu.utils import losses
     from __graft_entry__ import _demo_scene
@@ -33,25 +35,35 @@ def main():
                                       packed_capacity=1344 * 1024)
     bg = jnp.zeros(3, jnp.float32)
     gt = jnp.zeros((3, H, W), jnp.float32)
+    alive = state.alive
 
-    @jax.jit
-    def fwd_bwd(params, alive):
+    def step(p, s):
         def loss_fn(p):
             out = render(cam, p, alive, 3, bg, settings)
-            return losses.photometric_loss(out["render"], gt, 0.2)
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        return loss, grads
+            return losses.photometric_loss(out["render"], gt + s, 0.2)
+        _, grads = jax.value_and_grad(loss_fn)(p)
+        return jax.tree.map(lambda a, b: a - 1e-30 * b, p, grads)
 
-    # warmup / compile
-    loss, grads = fwd_bwd(params, state.alive)
-    jax.block_until_ready(loss)
+    @jax.jit
+    def run(p, s, n):
+        def body(i, p):
+            return step(p, s + i.astype(jnp.float32) * 1e-30)
+        out = lax.fori_loop(0, n, body, p)
+        return sum(jnp.sum(l.ravel()[::max(1, l.size // 64)])
+                   for l in jax.tree.leaves(out))
 
     iters = 10
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        loss, grads = fwd_bwd(params, state.alive)
-    jax.block_until_ready(loss)
-    dt = (time.perf_counter() - t0) / iters
+    float(run(params, 0.0, iters))
+    float(run(params, 0.0, 1))
+
+    def timed(s, n):
+        t0 = time.perf_counter()
+        float(run(params, float(s), n))
+        return time.perf_counter() - t0
+
+    tn = min(timed(r + 1, iters) for r in range(3))
+    t1 = min(timed(r + 9, 1) for r in range(3))
+    dt = (tn - t1) / (iters - 1)
 
     mpix_s = (W * H / dt) / 1e6
     baseline = 1920 * 1080 * 30 / 1e6  # 62.2 Mpix/s (see module docstring)

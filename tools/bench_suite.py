@@ -7,6 +7,11 @@ Covers the BASELINE.md milestone configs that fit on one chip:
 - 1080p forward-only render rate (the reference's >=30 fps headline)
 - neural path (idxmap + UNet/CNN/denoise) forward+backward at 800x800
 
+Timing: steps chained inside one jit via ``lax.fori_loop`` with real data
+dependencies, one sync, minus a 1-step run (see bench.py docstring — per-call
+timing pays ~30 ms of host-tunnel dispatch latency per step and can be
+corrupted by loop-invariant hoisting if dependencies aren't threaded).
+
 Run on the target hardware: `python tools/bench_suite.py`.
 """
 
@@ -18,21 +23,40 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def bench(f, *a, iters=10):
+def chain_time(make_step, x0, iters=8, reps=3):
+    """make_step() -> step(carry, eps) -> carry. Returns per-step seconds."""
     import jax
-    r = f(*a)
-    jax.block_until_ready(r)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        r = f(*a)
-    jax.block_until_ready(r)
-    return (time.perf_counter() - t0) / iters
+    import jax.numpy as jnp
+    from jax import lax
+
+    step = make_step()
+
+    @jax.jit
+    def run(x, s, n):
+        def body(i, x):
+            return step(x, s + i.astype(jnp.float32) * 1e-30)
+        out = lax.fori_loop(0, n, body, x)
+        return sum(jnp.sum(l.ravel()[::max(1, l.size // 64)].astype(
+            jnp.float32)) for l in jax.tree.leaves(out))
+
+    float(run(x0, 0.0, iters))
+    float(run(x0, 0.0, 1))
+
+    def timed(s, n):
+        t0 = time.perf_counter()
+        float(run(x0, float(s), n))
+        return time.perf_counter() - t0
+
+    tn = min(timed(r + 1, iters) for r in range(reps))
+    t1 = min(timed(r + 9, 1) for r in range(reps))
+    return (tn - t1) / (iters - 1)
 
 
 def main():
     import jax
     import jax.numpy as jnp
-    from neuralgaussiansplatting_tpu.gaussian_renderer import render, render2, init_decoders
+    from neuralgaussiansplatting_tpu.gaussian_renderer import (
+        render, render2, init_decoders)
     from neuralgaussiansplatting_tpu.ops import rasterize as rast
     from neuralgaussiansplatting_tpu.utils import losses
     from __graft_entry__ import _demo_scene
@@ -46,49 +70,56 @@ def main():
         results.append(rec)
         print(json.dumps(rec), flush=True)
 
+    def train_step_time(w, h, n, sh, settings, iters=8):
+        params, state, cam = _demo_scene(n=n, w=w, h=h, sh_degree=sh)
+        gt = jnp.zeros((3, h, w))
+        alive = state.alive
+
+        def make_step():
+            def step(p, s):
+                def loss(p):
+                    out = render(cam, p, alive, sh, jnp.zeros(3), settings)
+                    return losses.photometric_loss(out["render"], gt + s, 0.2)
+                _, g = jax.value_and_grad(loss)(p)
+                return jax.tree.map(lambda a, b: a - 1e-30 * b, p, g)
+            return step
+
+        return chain_time(make_step, params, iters=iters)
+
     # --- config 1: 256x256, 10k, SH0 fwd+bwd --------------------------------
-    params, state, cam = _demo_scene(n=10_000, w=256, h=256, sh_degree=0)
-    settings = rast.RasterizeSettings(capacity=1 << 19, max_per_tile=2048,
-                                      chunk=128, backend="pallas")
-    gt = jnp.zeros((3, 256, 256))
-
-    @jax.jit
-    def fb1(p, a):
-        def loss(p):
-            out = render(cam, p, a, 0, jnp.zeros(3), settings)
-            return losses.photometric_loss(out["render"], gt, 0.2)
-        return jax.value_and_grad(loss)(p)
-
-    dt = bench(fb1, params, state.alive)
+    s1 = rast.RasterizeSettings(capacity=1 << 19, max_per_tile=2048,
+                                chunk=128, backend="pallas",
+                                fast_sort=True, tight_culling=True)
+    dt = train_step_time(256, 256, 10_000, 0, s1)
     emit("fwd+bwd 256x256 10k SH0", 256 * 256 / dt / 1e6, "Mpix/s")
 
     # --- config 2: 800x800, 100k, SH3 fwd+bwd -------------------------------
-    params, state, cam = _demo_scene(n=100_000, w=800, h=800, sh_degree=3)
-    settings = rast.RasterizeSettings(capacity=1 << 21, max_per_tile=2048,
-                                      chunk=128, backend="pallas")
-    gt = jnp.zeros((3, 800, 800))
-
-    @jax.jit
-    def fb2(p, a):
-        def loss(p):
-            out = render(cam, p, a, 3, jnp.zeros(3), settings)
-            return losses.photometric_loss(out["render"], gt, 0.2)
-        return jax.value_and_grad(loss)(p)
-
-    dt = bench(fb2, params, state.alive)
+    s2 = rast.RasterizeSettings(capacity=1216 * 1024, max_per_tile=2048,
+                                chunk=128, backend="pallas",
+                                fast_sort=True, tight_culling=True,
+                                packed_capacity=1344 * 1024)
+    dt = train_step_time(800, 800, 100_000, 3, s2)
     emit("fwd+bwd 800x800 100k SH3", 800 * 800 / dt / 1e6, "Mpix/s",
          baseline=1920 * 1080 * 30 / 1e6)
 
     # --- 1080p forward-only fps (reference headline: >=30 fps) --------------
+    # capacity sized to true aligned demand (4.49M) so no tiles drop
+    s3 = rast.RasterizeSettings(capacity=4608 * 1024, max_per_tile=2048,
+                                chunk=128, backend="pallas",
+                                fast_sort=True, tight_culling=True,
+                                packed_capacity=4608 * 1024)
     params, state, cam = _demo_scene(n=100_000, w=1920, h=1080, sh_degree=3)
-    settings = rast.RasterizeSettings(capacity=1 << 22, max_per_tile=2048,
-                                      chunk=128, backend="pallas")
+    alive = state.alive
 
-    @jax.jit
-    def fwd1080(p, a):
-        return render(cam, p, a, 3, jnp.zeros(3), settings)["render"]
+    def make_fwd():
+        def step(p, s):
+            p2 = p._replace(xyz=p.xyz + s)
+            out = render(cam, p2, alive, 3, jnp.zeros(3), s3)
+            return p._replace(
+                xyz=p.xyz + 1e-30 * jnp.sum(out["render"][:, ::270, ::384]))
+        return step
 
-    dt = bench(fwd1080, params, state.alive)
+    dt = chain_time(make_fwd, params)
     emit("forward 1080p 100k SH3", 1.0 / dt, "fps", baseline=30.0)
 
     # --- neural path (sw=2) 800x800 fwd+bwd ---------------------------------
@@ -96,17 +127,23 @@ def main():
     net_params = init_decoders(jax.random.PRNGKey(0))
     gt = jnp.zeros((3, 800, 800))
 
-    @jax.jit
-    def fbn(p, np_, a):
-        def loss(p, np_):
-            out = render2(cam, p, np_, capacity=1 << 21)
-            return losses.photometric_loss(out["render"], gt, 0.2)
-        return jax.value_and_grad(loss, argnums=(0, 1))(p, np_)
+    def make_neural():
+        def step(carry, s):
+            p, np_ = carry
+            def loss(p, np_):
+                out = render2(cam, p, np_, capacity=1 << 21)
+                return losses.photometric_loss(out["render"], gt + s, 0.2)
+            _, (gp, gn) = jax.value_and_grad(loss, argnums=(0, 1))(p, np_)
+            return (jax.tree.map(lambda a, b: a - 1e-30 * b, p, gp),
+                    jax.tree.map(lambda a, b: a - 1e-30 * b, np_, gn))
+        return step
 
-    dt = bench(fbn, params, net_params, state.alive, iters=5)
+    dt = chain_time(make_neural, (params, net_params), iters=6)
     emit("neural sw2 fwd+bwd 800x800 100k", 800 * 800 / dt / 1e6, "Mpix/s")
 
-    with open("bench_suite_results.json", "w") as f:
+    with open(os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "bench_suite_results.json"),
+            "w") as f:
         json.dump(results, f, indent=2)
 
 
