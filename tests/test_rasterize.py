@@ -319,3 +319,37 @@ def test_tight_culling_image_and_grad_exact():
     for a, b in zip(g_l, g_t):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-4, rtol=1e-3)
+
+
+def test_blocked_cumsum_matches_flat_wrapping():
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.integers(-2**31, 2**31 - 1, size=(5000, 3),
+                                 dtype=np.int64).astype(np.int32))
+    want = np.cumsum(np.asarray(x, np.int64), axis=0).astype(np.uint64)
+    got = np.asarray(binning._blocked_cumsum_i32(x, block=256)).astype(np.uint64)
+    assert np.array_equal(want % (1 << 32), got % (1 << 32))
+
+
+def test_gather_aligned_runs_matches_plain_gather():
+    rng = np.random.default_rng(7)
+    for block in (8, 32, 128):
+        cap = 4096 + 24            # deliberately not a block multiple
+        kcap = 64 * block
+        values = jnp.asarray(
+            rng.integers(0, 1 << 30, size=cap, dtype=np.int64).astype(np.int32))
+        # piecewise-contiguous src: every output block reads one run
+        base = rng.integers(0, cap - 2 * block, size=kcap // block,
+                            endpoint=True).astype(np.int32)
+        src = (base[:, None] + np.arange(block)[None, :]).reshape(-1)
+        got = np.asarray(binning._gather_aligned_runs(
+            values, jnp.asarray(base), block))
+        want = np.asarray(values)[src]
+        assert np.array_equal(got, want), f"block={block}"
+
+
+def test_gather_aligned_runs_clamps_out_of_range_base():
+    values = jnp.arange(256, dtype=jnp.int32)
+    base = jnp.asarray([0, 10_000, -5], jnp.int32)  # callers mask via `valid`
+    out = np.asarray(binning._gather_aligned_runs(values, base, 8))
+    assert out.shape == (24,)
+    assert np.array_equal(out[:8], np.arange(8))  # in-range block is exact
