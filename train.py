@@ -21,10 +21,22 @@ def training_report(tb_writer, iteration, metrics, trainer, scene, settings,
     from neuralgaussiansplatting_tpu.utils import losses
 
     if tb_writer and metrics:
-        tb_writer.add_scalar("train_loss_patches/total_loss",
-                             float(metrics.get("loss", 0.0)), iteration)
-        tb_writer.add_scalar("total_points",
-                             int(jnp.sum(trainer.ts.gstate.alive)), iteration)
+        # Buffer the per-iteration device scalars and pull them in batches:
+        # a float()/int() per iteration is a host<->device sync that
+        # serializes the async dispatch queue (and costs ~30 ms each over a
+        # tunneled device). Values stay on device until the flush.
+        buf = getattr(tb_writer, "_ngs_pending", None)
+        if buf is None:
+            buf = tb_writer._ngs_pending = []
+        buf.append((iteration, metrics.get("loss", 0.0),
+                    jnp.sum(trainer.ts.gstate.alive)))
+        if (len(buf) >= 10 or iteration % 500 == 0
+                or iteration in test_iterations):
+            for it, loss_dev, alive_dev in buf:
+                tb_writer.add_scalar("train_loss_patches/total_loss",
+                                     float(loss_dev), it)
+                tb_writer.add_scalar("total_points", int(alive_dev), it)
+            buf.clear()
         if iteration % 500 == 0:
             # opacity histogram over alive gaussians (reference
             # training_report, train.py:186-188)
