@@ -101,8 +101,11 @@ def compute_idxmap(
     from neuralgaussiansplatting_tpu.ops.binning import _expand_runs
     depth_bits = jax.lax.bitcast_convert_type(
         depth.astype(jnp.float32), jnp.int32)
+    # x0/y0 pack into one column (expansion traffic is per-column; pixel
+    # coords fit 12 bits each up to 4K frames)
+    assert w <= 4096 and h <= 4096
     fields = jnp.stack([
-        jnp.arange(n, dtype=jnp.int32), starts, x0, y0,
+        jnp.arange(n, dtype=jnp.int32), starts, x0 * 4096 + y0,
         jnp.maximum(x1 - x0, 1), depth_bits,
     ], axis=1).astype(jnp.int32)
     ex = _expand_runs(fields, starts, capacity)
@@ -110,11 +113,11 @@ def compute_idxmap(
     slots = jnp.arange(capacity, dtype=jnp.int32)
     in_range = slots < num_inst
     local = slots - ex[:, 1]
-    rw = jnp.maximum(ex[:, 4], 1)
-    px = ex[:, 2] + local % rw
-    py = ex[:, 3] + local // rw
+    rw = jnp.maximum(ex[:, 3], 1)
+    px = jax.lax.shift_right_logical(ex[:, 2], 12) + local % rw
+    py = (ex[:, 2] & 4095) + local // rw
     pixel = jnp.where(in_range, py * w + px, w * h).astype(jnp.int32)
-    dkey = jnp.where(in_range, ex[:, 5], jnp.iinfo(jnp.int32).max)
+    dkey = jnp.where(in_range, ex[:, 4], jnp.iinfo(jnp.int32).max)
     gid_slot = jnp.where(in_range, ex[:, 0], n)
 
     sorted_pix, _, sorted_gid = jax.lax.sort((pixel, dkey, gid_slot),
