@@ -128,7 +128,7 @@ def _pixel_coords(t, tiles_x, block_x, block_y, pix):
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(start_ref, count_ref, inst_ref, out_ref, chunk_vmem, sem,
-                *, ch, pix, block_x, block_y, tiles_x):
+                *, ch, pix, block_x, block_y, tiles_x, track_contrib):
     t = pl.program_id(0)
     start = pl.multiple_of(start_ref[t], ch)
     count = count_ref[t]
@@ -171,10 +171,11 @@ def _fwd_kernel(start_ref, count_ref, inst_ref, out_ref, chunk_vmem, sem,
         cg = cg + jnp.sum(w * data[7:8, :], axis=1, keepdims=True)
         cb = cb + jnp.sum(w * data[8:9, :], axis=1, keepdims=True)
 
-        blended = alive & (alpha > 0.0)
-        idx1 = (c * ch + lanes + 1).astype(jnp.float32)
-        last = jnp.maximum(last, jnp.max(
-            jnp.where(blended, idx1, 0.0), axis=1, keepdims=True))
+        if track_contrib:
+            blended = alive & (alpha > 0.0)
+            idx1 = (c * ch + lanes + 1).astype(jnp.float32)
+            last = jnp.maximum(last, jnp.max(
+                jnp.where(blended, idx1, 0.0), axis=1, keepdims=True))
 
         t_col = jnp.min(jnp.where(alive, cum, t_col), axis=1, keepdims=True)
         done = jnp.maximum(done, jnp.max(
@@ -207,7 +208,7 @@ def _fwd_kernel(start_ref, count_ref, inst_ref, out_ref, chunk_vmem, sem,
 
 def _bwd_kernel(start_ref, count_ref, inst_ref, res_ref, cot_ref, grad_ref,
                 chunk_vmem, gchunk_vmem, sem_in, sem_out,
-                *, ch, pix, block_x, block_y, tiles_x):
+                *, ch, pix, block_x, block_y, tiles_x, track_contrib):
     t = pl.program_id(0)
     start = pl.multiple_of(start_ref[t], ch)
     count = count_ref[t]
@@ -233,8 +234,11 @@ def _bwd_kernel(start_ref, count_ref, inst_ref, res_ref, cot_ref, grad_ref,
     # res row 4) have identically zero gradients — compute only up to there
     # and fill the remaining aligned slots with zeros (they must still be
     # written: the grad buffer is uninitialized HBM).
-    max_contrib = jnp.max(res[4:5, :]).astype(jnp.int32)
-    live_chunks = jnp.minimum(pl.cdiv(max_contrib, ch), n_chunks)
+    if track_contrib:
+        max_contrib = jnp.max(res[4:5, :]).astype(jnp.int32)
+        live_chunks = jnp.minimum(pl.cdiv(max_contrib, ch), n_chunks)
+    else:
+        live_chunks = n_chunks
 
     # double-buffered read DMA (prefetch c+1) and write DMA (wait for the
     # slot's previous flight only when reusing it)
@@ -348,10 +352,10 @@ def _bwd_kernel(start_ref, count_ref, inst_ref, res_ref, cot_ref, grad_ref,
 # ---------------------------------------------------------------------------
 
 def _fwd_call(packed, tile_start, tile_count, *, num_tiles, ch, pix,
-              block_x, block_y, tiles_x, interpret):
+              block_x, block_y, tiles_x, interpret, track_contrib):
     kernel = functools.partial(
         _fwd_kernel, ch=ch, pix=pix, block_x=block_x, block_y=block_y,
-        tiles_x=tiles_x)
+        tiles_x=tiles_x, track_contrib=track_contrib)
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -372,10 +376,10 @@ def _fwd_call(packed, tile_start, tile_count, *, num_tiles, ch, pix,
 
 
 def _bwd_call(packed, raw, cot, tile_start, tile_count, *, num_tiles, ch, pix,
-              block_x, block_y, tiles_x, interpret):
+              block_x, block_y, tiles_x, interpret, track_contrib):
     kernel = functools.partial(
         _bwd_kernel, ch=ch, pix=pix, block_x=block_x, block_y=block_y,
-        tiles_x=tiles_x)
+        tiles_x=tiles_x, track_contrib=track_contrib)
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -417,12 +421,16 @@ def blend_tiles(
     block_y: int,
     max_per_tile: int,
     chunk: int = CHUNK,
+    track_contrib: bool = True,
 ) -> BlendResult:
     """Same contract as ops/blend.py:blend_tiles, on the Pallas kernels.
 
     ``chunk`` is the lane width of a DMA chunk and must equal the binning
     alignment; 128 is the required value on TPU (interpret mode accepts any
-    power of two for CPU tests).
+    power of two for CPU tests). ``track_contrib=False`` skips the per-pixel
+    n_contrib bookkeeping in the forward kernel (returned n_contrib is zeros)
+    — an inference-mode fast path; gradients remain exact but the backward
+    loses its deepest-contributor chunk-skip.
     """
     del max_per_tile  # per-tile caps were applied during binning
     num_tiles = tiles_x * tiles_y
@@ -439,7 +447,8 @@ def blend_tiles(
         axis=0)
 
     cfg = dict(num_tiles=num_tiles, ch=chunk, pix=pix, block_x=block_x,
-               block_y=block_y, tiles_x=tiles_x, interpret=interpret)
+               block_y=block_y, tiles_x=tiles_x, interpret=interpret,
+               track_contrib=track_contrib)
 
     # tile_start/count/valid are explicit custom_vjp arguments (closures over
     # traced values would leak tracers under vmap); their cotangents are

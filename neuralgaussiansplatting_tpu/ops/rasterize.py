@@ -47,6 +47,10 @@ class RasterizeSettings:
     tight_culling: bool = False    # opacity-adaptive per-axis rects (see
                                    # ops/preprocess.py; image/grad-exact, only
                                    # n_contrib + demand monitors shrink)
+    track_contrib: bool = True     # False => skip per-pixel n_contrib
+                                   # bookkeeping in the Pallas forward kernel
+                                   # (inference fast path; n_contrib output is
+                                   # zeros, gradients stay exact)
     packed_capacity: int | None = None  # aligned output buffer size; the
                                    # sort domain pads to pow2 internally, so
                                    # sizing this to true aligned demand cuts
@@ -128,6 +132,7 @@ def rasterize(
             inst, pre.means2d, pre.conic, pre.opacity, pre.rgb,
             tiles_x, tiles_y, settings.block_x, settings.block_y,
             settings.max_per_tile, settings.chunk,
+            track_contrib=settings.track_contrib,
         )
     else:
         res = blend_xla.blend_tiles(

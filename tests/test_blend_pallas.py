@@ -75,3 +75,35 @@ def test_pallas_gradients_match_xla():
         scale = np.abs(a).max() + 1e-8
         np.testing.assert_allclose(b, a, atol=2e-4 * scale, rtol=2e-3,
                                    err_msg=name)
+
+
+def test_pallas_inference_mode_track_contrib_off():
+    """track_contrib=False: identical color/final_t, zero n_contrib, and the
+    backward (which loses its chunk-skip) still produces exact gradients."""
+    import dataclasses
+    cam, args = _scene(n=80, deg=1, seed=11)
+    bg = jnp.asarray([0.2, 0.3, 0.4])
+    fast = dataclasses.replace(PALLAS, track_contrib=False)
+
+    out_p = rast.rasterize(*args, 1, cam, bg, PALLAS)
+    out_f = rast.rasterize(*args, 1, cam, bg, fast)
+    np.testing.assert_array_equal(np.asarray(out_f.color),
+                                  np.asarray(out_p.color))
+    np.testing.assert_array_equal(np.asarray(out_f.final_t),
+                                  np.asarray(out_p.final_t))
+    assert not np.asarray(out_f.n_contrib).any()
+
+    gt = jnp.zeros((3, cam.height, cam.width))
+
+    def loss(settings):
+        def f(means, scales, rot, opac, shs):
+            out = rast.rasterize(means, scales, rot, opac, shs, 1, cam, bg,
+                                 settings)
+            return jnp.sum((out.color - gt) ** 2)
+        return f
+
+    gp = jax.grad(loss(PALLAS), argnums=(0, 1, 2, 3, 4))(*args)
+    gf = jax.grad(loss(fast), argnums=(0, 1, 2, 3, 4))(*args)
+    for a, b in zip(gp, gf):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=1e-6, rtol=1e-6)

@@ -33,7 +33,8 @@ def main():
     from neuralgaussiansplatting_tpu.utils import losses
     from __graft_entry__ import _demo_scene
 
-    W = H = int(os.environ.get("PROF_W", 800))
+    W = int(os.environ.get("PROF_W", 800))
+    H = int(os.environ.get("PROF_H", W))
     N = int(os.environ.get("PROF_N", 100_000))
     CAP = int(os.environ.get("PROF_CAP", 1216 * 1024))
     params, state, cam_obj = _demo_scene(n=N, w=W, h=H, sh_degree=3)
