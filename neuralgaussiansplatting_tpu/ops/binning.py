@@ -51,6 +51,14 @@ class Instances(NamedTuple):
     max_tile_load: jnp.ndarray  # () int32 max true per-tile demand
     aligned_demand: jnp.ndarray  # () int32 aligned packed-buffer demand
                                  # (pre-drop; sizes packed_capacity)
+    eid: jnp.ndarray          # (K,) int32 expansion-domain slot per packed
+                              # slot (== capacity for padding/invalid) — the
+                              # backward grad reduction sorts on this
+    gstart: jnp.ndarray       # (N,) int32 expansion run start per gaussian
+    gcount: jnp.ndarray       # (N,) int32 expansion run length (tiles touched)
+    dropped: jnp.ndarray      # () int32 instances lost to caps/drops; 0 =>
+                              # the packed set is the complete expansion set
+                              # (enables the sort-based backward reduction)
 
 
 def _blocked_cumsum_i32(x: jnp.ndarray, block: int = 1024) -> jnp.ndarray:
@@ -178,20 +186,24 @@ def bin_gaussians(pre: Preprocessed, tiles_x: int, tiles_y: int,
     gid_slot = jnp.where(in_range, ex[:, 0], n)
 
     # --- (tile, depth) lexicographic sort == CUDA [tile|depth] radix sort --
+    # ``slots`` rides along as an extra operand: the sorted expansion index
+    # feeds the backward gradient reduction (see grad_reduce in blend_pallas).
+    # XLA prunes the unused operand in forward-only graphs.
     if pack_keys:
         tile_bits = max(int(num_tiles + 1).bit_length(), 1)
         depth_bits_kept = 31 - tile_bits
         dq = jax.lax.shift_right_logical(ex[:, 3], 31 - depth_bits_kept)
         key = tile * (1 << depth_bits_kept) + dq
         key = jnp.where(in_range, key, jnp.iinfo(jnp.int32).max)
-        sorted_key, sorted_gid = jax.lax.sort((key, gid_slot), num_keys=1)
+        sorted_key, sorted_gid, sorted_e = jax.lax.sort(
+            (key, gid_slot, slots), num_keys=1)
         sorted_tile = jnp.where(
             sorted_key == jnp.iinfo(jnp.int32).max, num_tiles,
             jax.lax.shift_right_logical(sorted_key, depth_bits_kept))
     else:
         dkey = jnp.where(in_range, ex[:, 3], jnp.iinfo(jnp.int32).max)
-        sorted_tile, _, sorted_gid = jax.lax.sort(
-            (tile, dkey, gid_slot), num_keys=2)
+        sorted_tile, _, sorted_gid, sorted_e = jax.lax.sort(
+            (tile, dkey, gid_slot, slots), num_keys=2)
 
     tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
     raw_start = jnp.searchsorted(sorted_tile, tile_ids,
@@ -231,9 +243,12 @@ def bin_gaussians(pre: Preprocessed, tiles_x: int, tiles_y: int,
         # each aligned block reads a consecutive sorted-domain run => use the
         # blocked gather (out-of-range bases are clamped; `valid` masks them)
         gathered = _gather_aligned_runs(sorted_gid, src[::block], block)
+        gathered_e = _gather_aligned_runs(sorted_e, src[::block], block)
     else:
         gathered = sorted_gid[jnp.clip(src, 0, capacity - 1)]
+        gathered_e = sorted_e[jnp.clip(src, 0, capacity - 1)]
     gid_aligned = jnp.where(valid, gathered, n).astype(jnp.int32)
+    eid_aligned = jnp.where(valid, gathered_e, capacity).astype(jnp.int32)
 
     return Instances(
         gid=gid_aligned,
@@ -243,4 +258,8 @@ def bin_gaussians(pre: Preprocessed, tiles_x: int, tiles_y: int,
         num_rendered=num_rendered,
         max_tile_load=jnp.max(raw_count),
         aligned_demand=aligned_demand,
+        eid=eid_aligned,
+        gstart=starts,
+        gcount=tiles_touched,
+        dropped=num_rendered - jnp.sum(count_eff),
     )

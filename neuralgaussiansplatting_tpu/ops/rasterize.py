@@ -56,6 +56,11 @@ class RasterizeSettings:
                                    # sizing this to true aligned demand cuts
                                    # the gather/kernel/scatter stages (see
                                    # ops/binning.py). None => capacity.
+    grad_reduce: str = "auto"      # backward per-Gaussian reduction:
+                                   # "sort" (expansion-order cumsum-diff),
+                                   # "scatter" (XLA scatter-add), or "auto"
+                                   # (sort when no instances dropped; see
+                                   # blend_pallas.pack_gather)
 
     @property
     def tiles(self):
@@ -133,6 +138,7 @@ def rasterize(
             tiles_x, tiles_y, settings.block_x, settings.block_y,
             settings.max_per_tile, settings.chunk,
             track_contrib=settings.track_contrib,
+            grad_reduce=settings.grad_reduce,
         )
     else:
         res = blend_xla.blend_tiles(

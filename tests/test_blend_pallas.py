@@ -77,6 +77,97 @@ def test_pallas_gradients_match_xla():
                                    err_msg=name)
 
 
+def test_grad_reduce_modes_agree():
+    """The sort-based (expansion-order cumsum-diff) per-Gaussian gradient
+    reduction must match the scatter-add path on a scene with no dropped
+    instances, through the full rasterize VJP."""
+    import dataclasses
+    cam, args = _scene(n=90, deg=1, seed=13)
+    bg = jnp.asarray([0.3, 0.1, 0.2])
+    gt = jnp.zeros((3, cam.height, cam.width))
+
+    def grads(settings):
+        def f(means, scales, rot, opac, shs):
+            out = rast.rasterize(means, scales, rot, opac, shs, 1, cam, bg,
+                                 settings)
+            return jnp.sum((out.color - gt) ** 2) + jnp.sum(out.final_t)
+        return jax.grad(f, argnums=(0, 1, 2, 3, 4))(*args)
+
+    g_scatter = grads(dataclasses.replace(PALLAS, grad_reduce="scatter"))
+    g_sort = grads(dataclasses.replace(PALLAS, grad_reduce="sort"))
+    g_auto = grads(dataclasses.replace(PALLAS, grad_reduce="auto"))
+    for name, a, b, c in zip(["means", "scales", "rot", "opac", "shs"],
+                             g_scatter, g_sort, g_auto):
+        a, b, c = np.asarray(a), np.asarray(b), np.asarray(c)
+        scale = np.abs(a).max() + 1e-8
+        # sort path reassociates the sums (cumsum difference): tiny f32 drift
+        np.testing.assert_allclose(b, a, atol=1e-5 * scale, rtol=1e-4,
+                                   err_msg=name)
+        # no drops here => auto must take the sort branch bit-exactly
+        np.testing.assert_array_equal(c, b, err_msg=name)
+
+
+def test_grad_reduce_auto_falls_back_on_drops():
+    """When capacity drops instances, the expansion-order boundaries are
+    stale — auto must select the scatter path and stay exact."""
+    import dataclasses
+    cam, args = _scene(n=200, deg=0, seed=17)
+    bg = jnp.zeros(3)
+    # tiny caps: guaranteed per-tile truncation => dropped > 0
+    tiny = rast.RasterizeSettings(capacity=1 << 9, max_per_tile=16, chunk=8,
+                                  backend="pallas")
+    from neuralgaussiansplatting_tpu.ops import binning, preprocess as pp
+    pre = pp.preprocess_gaussians(*args, 0, cam, 16, 16)
+    tx, ty = tiny.tiles_for(cam.width, cam.height)
+    inst = binning.bin_gaussians(pre, tx, ty, tiny.capacity,
+                                 tiny.max_per_tile, tiny.chunk)
+    assert int(inst.dropped) > 0
+
+    gt = jnp.zeros((3, cam.height, cam.width))
+
+    def grads(settings):
+        def f(means, scales, rot, opac, shs):
+            out = rast.rasterize(means, scales, rot, opac, shs, 0, cam, bg,
+                                 settings)
+            return jnp.sum((out.color - gt) ** 2)
+        return jax.grad(f, argnums=(0, 1, 2, 3, 4))(*args)
+
+    g_auto = grads(dataclasses.replace(tiny, grad_reduce="auto"))
+    g_scatter = grads(dataclasses.replace(tiny, grad_reduce="scatter"))
+    for a, b in zip(g_scatter, g_auto):
+        np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
+
+
+def test_reduce_sorted_matches_scatter_at_scale():
+    """Direct numeric check of _reduce_sorted vs _reduce_scatter on a large
+    synthetic layout with realistic run structure (catches f32 cancellation
+    regressions in the blocked cumsum difference)."""
+    from neuralgaussiansplatting_tpu.ops import blend_pallas as bp
+    rng = np.random.default_rng(0)
+    n, kmax = 5000, 1 << 17
+    counts = rng.integers(0, 40, size=n).astype(np.int32)
+    total = int(counts.sum())
+    assert total < kmax
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int32)
+    # expansion ids 0..total-1 in a random packed order + padding sentinels
+    perm = rng.permutation(total).astype(np.int32)
+    eid = np.full(kmax, kmax, np.int32)
+    eid[:total] = perm
+    gid_of_e = np.repeat(np.arange(n, dtype=np.int32), counts)
+    gid = np.full(kmax, n, np.int32)
+    gid[:total] = gid_of_e[perm]
+    cot = rng.standard_normal((9, kmax), dtype=np.float32)
+    cot[:, total:] = 0.0
+
+    g_sort = np.asarray(bp._reduce_sorted(
+        jnp.asarray(cot), jnp.asarray(eid), jnp.asarray(starts),
+        jnp.asarray(counts)))
+    g_scat = np.asarray(bp._reduce_scatter(
+        jnp.asarray(cot), jnp.asarray(gid), n))
+    scale = np.abs(g_scat).max()
+    np.testing.assert_allclose(g_sort, g_scat, atol=2e-5 * scale)
+
+
 def test_pallas_inference_mode_track_contrib_off():
     """track_contrib=False: identical color/final_t, zero n_contrib, and the
     backward (which loses its chunk-skip) still produces exact gradients."""
