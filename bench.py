@@ -32,7 +32,8 @@ def main():
     settings = rast.RasterizeSettings(capacity=1216 * 1024, max_per_tile=2048,
                                       chunk=128, backend="pallas",
                                       fast_sort=True, tight_culling=True,
-                                      packed_capacity=1344 * 1024)
+                                      precise_cull=True,
+                                      packed_capacity=1152 * 1024)
     bg = jnp.zeros(3, jnp.float32)
     gt = jnp.zeros((3, H, W), jnp.float32)
     alive = state.alive

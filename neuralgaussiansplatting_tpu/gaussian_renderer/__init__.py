@@ -74,8 +74,15 @@ def render(
         colors_precomp=colors_precomp,
         cov3d_precomp=cov3d_precomp,
     )
+    n = params.xyz.shape[0]
     return {
         "render": out.color,
+        # reference parity: the ``screenspace_points`` grad-retention dummy
+        # (gaussian_renderer/__init__.py:27-31,99). Densification stats come
+        # from d loss / d means2d_offset instead (see ops/rasterize.py), so
+        # this is the offset actually rendered (zeros unless supplied).
+        "viewspace_points": (means2d_offset if means2d_offset is not None
+                             else jnp.zeros((n, 2), jnp.float32)),
         "visibility_filter": out.radii > 0,
         "radii": out.radii,
         "final_t": out.final_t,
@@ -83,6 +90,8 @@ def render(
         "num_rendered": out.num_rendered,
         "max_per_tile": out.max_per_tile,
         "aligned_demand": out.aligned_demand,
+        "dropped": out.dropped,
+        "culled": out.culled,
     }
 
 
@@ -126,6 +135,8 @@ def render1(cam: CameraParams, params: gm.GaussianParams, net_params,
         net_params["mlp"], maps.featuremap)
     return {
         "render": jnp.transpose(mlp_out, (2, 0, 1)),
+        "viewspace_points": jnp.zeros((params.xyz.shape[0], 2), jnp.float32),
+        "num_inst": maps.num_inst,
         "idxmap": maps.idxmap,
         "colmap": maps.colmap,
         "depthmap": maps.depthmap,
@@ -147,7 +158,11 @@ def render2(cam: CameraParams, params: gm.GaussianParams, net_params,
     final = nets.denoise(unet_output, denoiser_kernels)
     return {
         "render": jnp.transpose(final, (2, 0, 1)),
-        "render1": jnp.transpose(unet_output, (2, 0, 1)),
+        # reference key/layout parity: the UNet RGB is returned as
+        # "aggregation" [H, W, 3] (gaussian_renderer/__init__.py:323)
+        "aggregation": unet_output,
+        "viewspace_points": jnp.zeros((params.xyz.shape[0], 2), jnp.float32),
+        "num_inst": maps.num_inst,
         "idxmap": maps.idxmap,
         "colmap": maps.colmap,
         "depthmap": maps.depthmap,
@@ -171,6 +186,8 @@ def render3(cam: CameraParams, params: gm.GaussianParams, net_params,
     return {
         "render": jnp.transpose(final, (2, 0, 1)),
         "aggregation": aggregation,
+        "viewspace_points": jnp.zeros((params.xyz.shape[0], 2), jnp.float32),
+        "num_inst": maps.num_inst,
         "idxmap": maps.idxmap,
         "colmap": maps.colmap,
         "depthmap": maps.depthmap,

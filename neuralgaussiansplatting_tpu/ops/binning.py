@@ -51,23 +51,36 @@ class Instances(NamedTuple):
     max_tile_load: jnp.ndarray  # () int32 max true per-tile demand
     aligned_demand: jnp.ndarray  # () int32 aligned packed-buffer demand
                                  # (pre-drop; sizes packed_capacity)
-    eid: jnp.ndarray          # (K,) int32 expansion-domain slot per packed
-                              # slot (== capacity for padding/invalid) — the
-                              # backward grad reduction sorts on this
-    gstart: jnp.ndarray       # (N,) int32 expansion run start per gaussian
-    gcount: jnp.ndarray       # (N,) int32 expansion run length (tiles touched)
-    dropped: jnp.ndarray      # () int32 instances lost to caps/drops; 0 =>
-                              # the packed set is the complete expansion set
-                              # (enables the sort-based backward reduction)
+    eid: jnp.ndarray          # (K,) int32 kept-rank slot per packed slot
+                              # (== capacity for padding/invalid): the rank
+                              # of the instance among all kept (non-culled)
+                              # instances in expansion order — the backward
+                              # grad reduction sorts on this
+    gstart: jnp.ndarray       # (N,) int32 kept-run start per gaussian
+    gcount: jnp.ndarray       # (N,) int32 kept-run length per gaussian
+    dropped: jnp.ndarray      # () int32 kept instances lost to caps/drops/
+                              # truncation; 0 => the packed set is the
+                              # complete kept set (enables the fast
+                              # sort-based backward reduction; the
+                              # drop-tolerant variant covers dropped > 0)
+    culled: jnp.ndarray       # () int32 instances dropped *exactly* by the
+                              # precise per-instance coverage test (their
+                              # contribution is identically zero)
 
 
-def _blocked_cumsum_i32(x: jnp.ndarray, block: int = 1024) -> jnp.ndarray:
-    """Exact wrapping-int32 inclusive cumsum along axis 0, two-level.
+def _blocked_cumsum(x: jnp.ndarray, block: int = 1024) -> jnp.ndarray:
+    """Blocked inclusive cumsum along axis 0, two-level, dtype-generic.
 
     XLA lowers a flat (K, F) cumsum to ~log2(K) full-array shift passes; the
     two-level decomposition (in-block scan + tiny block-prefix scan) does
-    ~log2(block) passes over the data plus negligible block math — int32
-    addition wraps associatively, so the result is bit-exact either way.
+    ~log2(block) passes over the data plus negligible block math.
+
+    Exactness depends on dtype: integer addition wraps associatively, so
+    int32 results are bit-exact regardless of blocking (the run-length
+    expansion relies on this). Float use reassociates the summation — the
+    two-level order keeps roundoff near the sqrt(num_blocks) scale, but it
+    is NOT bit-identical to a sequential cumsum (see blend_pallas
+    ``_reduce_sorted`` for where that tradeoff is taken deliberately).
     """
     k = x.shape[0]
     nb = -(-k // block)
@@ -126,13 +139,17 @@ def _expand_runs(fields: jnp.ndarray, starts: jnp.ndarray,
     diffs = jnp.concatenate([fields[:1], fields[1:] - fields[:-1]], axis=0)
     buf = jnp.zeros((capacity,) + fields.shape[1:], jnp.int32)
     buf = buf.at[starts].add(diffs, mode="drop")
-    return _blocked_cumsum_i32(buf)  # wrapping int32 => exact telescoping
+    return _blocked_cumsum(buf)  # wrapping int32 => exact telescoping
 
 
 def bin_gaussians(pre: Preprocessed, tiles_x: int, tiles_y: int,
                   capacity: int, max_per_tile: int, align: int,
                   pack_keys: bool = False,
-                  packed_capacity: int | None = None) -> Instances:
+                  packed_capacity: int | None = None,
+                  precise_cull: bool = False,
+                  block_x: int = 16, block_y: int = 16,
+                  width: int | None = None,
+                  height: int | None = None) -> Instances:
     """Expand Gaussians into depth-sorted, chunk-aligned per-tile instances.
 
     ``pack_keys``: pack [tile | quantized-depth] into a single int32 sort key
@@ -148,9 +165,31 @@ def bin_gaussians(pre: Preprocessed, tiles_x: int, tiles_y: int,
     its true size — so a tighter (aligned-demand-sized) packed buffer is
     pure savings. Defaults to ``capacity`` (the historical single-buffer
     layout).
+
+    ``precise_cull``: per-INSTANCE exact-coverage culling. The rect-based
+    duplication (reference ``duplicateWithKeys``) emits every tile of the
+    ellipse's bounding box, but corner tiles often lie wholly outside the
+    alpha >= 1/255 level-set ellipse — the blend kernel would zero every
+    pixel of those instances anyway (forward.cu:341-352 semantics). A
+    separating-axis test along the two diagonals (+-45 deg; the axis-aligned
+    directions are already exact via the tight per-axis rects) drops such
+    instances *image- and gradient-exactly*: support radius along direction
+    u is sqrt(2 ln(255 op) u^T Sigma u), and the per-Gaussian support
+    intervals ride the expansion as two quantized int32 columns (16-bit lo/hi
+    with outward, conservative rounding — only keeps extra, never culls a
+    contributor). Culled instances shrink every downstream stage (sort ranks,
+    pack gather, both blend kernels, gradient reduction). ``eid`` is then
+    relabeled to the *kept-rank* domain so the expansion-order gradient
+    reduction keeps working, and ``gstart``/``gcount`` are returned over the
+    same kept domain. Requires ``block_x/block_y`` (tile pixel pitch) and the
+    image ``width``/``height`` for the tile pixel rects.
     """
     n = pre.tiles_touched.shape[0]
     num_tiles = tiles_x * tiles_y
+    if width is None:
+        width = tiles_x * block_x
+    if height is None:
+        height = tiles_y * block_y
 
     tiles_touched = pre.tiles_touched
     offsets = jnp.cumsum(tiles_touched)          # inclusive prefix sum
@@ -168,12 +207,47 @@ def bin_gaussians(pre: Preprocessed, tiles_x: int, tiles_y: int,
                    + pre.rect_min[:, 1] * (1 << 10) + rect_w)
     depth_bits = jax.lax.bitcast_convert_type(
         pre.depths.astype(jnp.float32), jnp.int32)  # positive => monotone
-    fields = jnp.stack([
+    columns = [
         jnp.arange(n, dtype=jnp.int32),   # 0: gid
         starts,                            # 1: run start
         packed_rect,                       # 2: [min_x | min_y | width]
         depth_bits,                        # 3: depth key
-    ], axis=1).astype(jnp.int32)
+    ]
+
+    # Absolute quantization grid (0.25 px), NOT frame-relative: pixel-strip
+    # renders (parallel/render_sp.py) shift coordinates by whole tile rows,
+    # and an absolute grid makes the quantized cull decisions shift-exact so
+    # strip renders stay bit-identical to the monolithic frame. Values
+    # outside +-8192 px clamp conservatively (keep).
+    span = 8192.0
+    qscale = 0.25
+    if precise_cull:
+        # Diagonal support intervals of the alpha >= 1/255 level-set ellipse
+        # (see docstring). conic = [[A, B], [B, C]]; Sigma = conic^-1, so
+        # u^T Sigma u = (A + C -+ 2B) / det for u = (1, +-1).
+        ca, cb, cc = pre.conic[:, 0], pre.conic[:, 1], pre.conic[:, 2]
+        det = ca * cc - cb * cb
+        safe_det = jnp.where(det > 0, det, 1.0)
+        lvl = jnp.log(jnp.maximum(pre.opacity, 1e-12) * 255.0)
+        lvl = jnp.maximum(lvl, 0.0)   # opacity < 1/255 => zero support
+        r1 = jnp.sqrt(jnp.maximum(
+            2.0 * lvl * (ca + cc - 2.0 * cb) / safe_det, 0.0))
+        r2 = jnp.sqrt(jnp.maximum(
+            2.0 * lvl * (ca + cc + 2.0 * cb) / safe_det, 0.0))
+        s1 = pre.means2d[:, 0] + pre.means2d[:, 1]
+        s2 = pre.means2d[:, 0] - pre.means2d[:, 1]
+
+        def qpack(lo, hi):
+            # conservative outward rounding; clamping to the range ends only
+            # widens the interval (keeps), never culls a contributor
+            lo_q = jnp.clip(jnp.floor((lo + span) / qscale), 0, 65535)
+            hi_q = jnp.clip(jnp.ceil((hi + span) / qscale), 0, 65535)
+            return (lo_q.astype(jnp.int32) * 65536            # wraps; unpack
+                    + hi_q.astype(jnp.int32))                 # is logical
+        columns.append(qpack(s1 - r1, s1 + r1))   # 4: diag (1, 1) interval
+        columns.append(qpack(s2 - r2, s2 + r2))   # 5: diag (1, -1) interval
+
+    fields = jnp.stack(columns, axis=1).astype(jnp.int32)
     ex = _expand_runs(fields, starts, capacity)
 
     slots = jnp.arange(capacity, dtype=jnp.int32)
@@ -182,11 +256,51 @@ def bin_gaussians(pre: Preprocessed, tiles_x: int, tiles_y: int,
     rw = jnp.maximum(ex[:, 2] & 1023, 1)
     tx = jax.lax.shift_right_logical(ex[:, 2], 20) + local % rw
     ty = (jax.lax.shift_right_logical(ex[:, 2], 10) & 1023) + local // rw
-    tile = jnp.where(in_range, ty * tiles_x + tx, num_tiles).astype(jnp.int32)
-    gid_slot = jnp.where(in_range, ex[:, 0], n)
+
+    if precise_cull:
+        def qunpack(col):
+            lo = jax.lax.shift_right_logical(col, 16).astype(jnp.float32)
+            hi = (col & 0xFFFF).astype(jnp.float32)
+            return lo * qscale - span, hi * qscale - span
+
+        lo1, hi1 = qunpack(ex[:, 4])
+        lo2, hi2 = qunpack(ex[:, 5])
+        # tile pixel-center rect, clipped to the image (phantom pixels of
+        # edge tiles are cropped by assemble and carry zero cotangents)
+        x0 = (tx * block_x).astype(jnp.float32)
+        y0 = (ty * block_y).astype(jnp.float32)
+        x1 = jnp.minimum(tx * block_x + (block_x - 1),
+                         width - 1).astype(jnp.float32)
+        y1 = jnp.minimum(ty * block_y + (block_y - 1),
+                         height - 1).astype(jnp.float32)
+        keep = (in_range
+                & (lo1 <= x1 + y1) & (hi1 >= x0 + y0)
+                & (lo2 <= x1 - y0) & (hi2 >= x0 - y1))
+        # Relabel expansion slots to their kept rank: the gradient reduction
+        # needs contiguous per-Gaussian runs over the *packed* instance set;
+        # the per-Gaussian boundaries follow by reading the kept-prefix at
+        # the raw run boundaries (runs stay contiguous and ordered under
+        # culling).
+        keep_i = keep.astype(jnp.int32)
+        kept_incl = _blocked_cumsum(keep_i)
+        eid_new = kept_incl - keep_i
+        kept_total = kept_incl[capacity - 1]
+        pfx = jnp.concatenate([jnp.zeros((1,), jnp.int32), kept_incl])
+        gstart_eff = pfx[jnp.minimum(starts, capacity)]
+        gcount_eff = pfx[jnp.minimum(offsets, capacity)] - gstart_eff
+    else:
+        keep = in_range
+        eid_new = slots
+        kept_total = jnp.minimum(num_rendered, capacity)
+        gstart_eff = jnp.minimum(starts, capacity)
+        gcount_eff = jnp.minimum(offsets, capacity) - gstart_eff
+
+    tile = jnp.where(keep, ty * tiles_x + tx, num_tiles).astype(jnp.int32)
+    gid_slot = jnp.where(keep, ex[:, 0], n)
+    eid_slot = jnp.where(keep, eid_new, capacity)
 
     # --- (tile, depth) lexicographic sort == CUDA [tile|depth] radix sort --
-    # ``slots`` rides along as an extra operand: the sorted expansion index
+    # ``eid_slot`` rides along as an extra operand: the sorted kept-rank
     # feeds the backward gradient reduction (see grad_reduce in blend_pallas).
     # XLA prunes the unused operand in forward-only graphs.
     if pack_keys:
@@ -194,16 +308,16 @@ def bin_gaussians(pre: Preprocessed, tiles_x: int, tiles_y: int,
         depth_bits_kept = 31 - tile_bits
         dq = jax.lax.shift_right_logical(ex[:, 3], 31 - depth_bits_kept)
         key = tile * (1 << depth_bits_kept) + dq
-        key = jnp.where(in_range, key, jnp.iinfo(jnp.int32).max)
+        key = jnp.where(keep, key, jnp.iinfo(jnp.int32).max)
         sorted_key, sorted_gid, sorted_e = jax.lax.sort(
-            (key, gid_slot, slots), num_keys=1)
+            (key, gid_slot, eid_slot), num_keys=1)
         sorted_tile = jnp.where(
             sorted_key == jnp.iinfo(jnp.int32).max, num_tiles,
             jax.lax.shift_right_logical(sorted_key, depth_bits_kept))
     else:
-        dkey = jnp.where(in_range, ex[:, 3], jnp.iinfo(jnp.int32).max)
+        dkey = jnp.where(keep, ex[:, 3], jnp.iinfo(jnp.int32).max)
         sorted_tile, _, sorted_gid, sorted_e = jax.lax.sort(
-            (tile, dkey, gid_slot, slots), num_keys=2)
+            (tile, dkey, gid_slot, eid_slot), num_keys=2)
 
     tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
     raw_start = jnp.searchsorted(sorted_tile, tile_ids,
@@ -250,6 +364,9 @@ def bin_gaussians(pre: Preprocessed, tiles_x: int, tiles_y: int,
     gid_aligned = jnp.where(valid, gathered, n).astype(jnp.int32)
     eid_aligned = jnp.where(valid, gathered_e, capacity).astype(jnp.int32)
 
+    # instances lost to expansion truncation (num_rendered > capacity) plus
+    # cap/tile drops; precise-culled instances are exact zeros, not drops
+    trunc = jnp.maximum(num_rendered - capacity, 0)
     return Instances(
         gid=gid_aligned,
         valid=valid,
@@ -259,7 +376,8 @@ def bin_gaussians(pre: Preprocessed, tiles_x: int, tiles_y: int,
         max_tile_load=jnp.max(raw_count),
         aligned_demand=aligned_demand,
         eid=eid_aligned,
-        gstart=starts,
-        gcount=tiles_touched,
-        dropped=num_rendered - jnp.sum(count_eff),
+        gstart=gstart_eff,
+        gcount=gcount_eff,
+        dropped=kept_total + trunc - jnp.sum(count_eff),
+        culled=jnp.minimum(num_rendered, capacity) - kept_total,
     )

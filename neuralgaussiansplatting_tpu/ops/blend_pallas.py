@@ -43,7 +43,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from neuralgaussiansplatting_tpu.ops.binning import Instances, _blocked_cumsum_i32
+from neuralgaussiansplatting_tpu.ops.binning import Instances, _blocked_cumsum
 from neuralgaussiansplatting_tpu.ops.blend import (
     ALPHA_MAX, ALPHA_MIN, STOP_T, BlendResult,
 )
@@ -63,13 +63,17 @@ def _reduce_sorted(cot9, eid, gstart, gcount):
     ``eid`` (K,) the expansion-domain slot of each packed instance. Each
     Gaussian's instances occupy the contiguous expansion run
     [gstart[g], gstart[g] + gcount[g]) — boundaries known from the binning
-    prefix sum, no searchsorted. Valid ONLY when no instance was dropped
-    (caller guards on ``dropped == 0``); then sorting by eid yields exactly
-    the expansion order and the per-run sums are differences of a blocked
-    cumulative sum. Replaces the reference backward's atomicAdd per-Gaussian
-    accumulation (backward.cu:523-554) without its atomics — and without
-    XLA's serial scatter-add (measured 22 ms -> ~15 ms at 800p scale,
-    80 -> ~50 ms at 1080p, tools/exp_expreduce.py).
+    prefix sum, no searchsorted. Valid ONLY when no instance was dropped:
+    after any cap/tile drop the packed buffer is missing expansion slots, the
+    run windows [gstart, gstart+gcount) no longer line up, and the returned
+    gradients are silently WRONG — mode="sort" must not be forced when
+    ``dropped > 0`` ("auto" guards this via lax.cond). When dropped == 0,
+    sorting by eid yields exactly the expansion order and the per-run sums
+    are differences of a blocked cumulative sum. Replaces the reference
+    backward's atomicAdd per-Gaussian accumulation (backward.cu:523-554)
+    without its atomics — and without XLA's serial scatter-add (measured
+    22 ms -> ~15 ms at 800p scale, 80 -> ~50 ms at 1080p,
+    tools/exp_expreduce.py).
 
     f32 note: the cumsum difference loses ~log2(prefix/segment) mantissa bits
     to cancellation; the blocked (two-level) cumsum keeps the error at the
@@ -81,11 +85,53 @@ def _reduce_sorted(cot9, eid, gstart, gcount):
     ops = (eid,) + tuple(cot9[i] for i in range(9))
     s = jax.lax.sort(ops, num_keys=1)
     vals = jnp.stack(s[1:], axis=1)                     # (K, 9) expansion order
-    cs = _blocked_cumsum_i32(vals)                      # dtype-generic blocked scan
+    cs = _blocked_cumsum(vals)                      # dtype-generic blocked scan
     csz = jnp.concatenate([jnp.zeros((1, 9), cot9.dtype), cs], axis=0)
     lo = jnp.clip(gstart, 0, k)
     hi = jnp.clip(gstart + gcount, 0, k)
     return (csz[hi] - csz[lo]).T                        # (9, N)
+
+
+def _reduce_sorted_dropped(cot9, eid, gstart, gcount):
+    """Drop-tolerant variant of ``_reduce_sorted``.
+
+    When cap/tile drops removed instances from the packed buffer, the kept
+    runs [gstart, gstart + gcount) no longer line up with the *present*
+    instances — the correct boundaries are each Gaussian's boundary RANK
+    among the present eids. Ranks are computed by a merge-style sort (no
+    searchsorted: probing 2N boundaries into a K-array costs ~log2(K) full
+    gathers): sort the present eids together with the 2N boundary probes,
+    tagging probes to sort before equal-keyed data; a probe's rank among the
+    data is then its big-sort position minus its rank among probes. One
+    (K + 2N) 3-operand int sort + one (2N) 2-operand sort + two small
+    scatters — measured well under the XLA scatter-add this replaces.
+
+    Exact: the reduced sums range over exactly the present instances (same
+    summands as the scatter path, reassociated by the blocked cumsum).
+    """
+    k = eid.shape[0]
+    n = gstart.shape[0]
+    probes = jnp.concatenate([gstart, gstart + gcount])       # (2N,)
+    pid = jnp.arange(1, 2 * n + 1, dtype=jnp.int32)
+
+    keys = jnp.concatenate([eid, probes])
+    tag = jnp.concatenate([jnp.ones((k,), jnp.int32),
+                           jnp.zeros((2 * n,), jnp.int32)])
+    pay = jnp.concatenate([jnp.zeros((k,), jnp.int32), pid])
+    _, _, spay = jax.lax.sort((keys, tag, pay), num_keys=3)
+    pos = jnp.arange(k + 2 * n, dtype=jnp.int32)
+    big_pos = jnp.zeros((2 * n + 1,), jnp.int32).at[spay].set(
+        pos, mode="drop")[1:]                                 # (2N,)
+
+    # rank of each probe among probes, with the same (key, pid) tie order
+    _, ppay = jax.lax.sort((probes, pid), num_keys=2)
+    prank = jnp.zeros((2 * n + 1,), jnp.int32).at[ppay].set(
+        jnp.arange(2 * n, dtype=jnp.int32), mode="drop")[1:]  # (2N,)
+
+    data_before = big_pos - prank                             # (2N,)
+    lo = data_before[:n]
+    cnt = data_before[n:] - lo
+    return _reduce_sorted(cot9, eid, lo, cnt)
 
 
 def _reduce_scatter(cot9, gid, n):
@@ -100,8 +146,10 @@ def pack_gather(packed_all, gid, eid, gstart, gcount, dropped,
     """packed_all (9, N+1) -> (9, K) per-instance rows via gid, with a custom
     per-Gaussian gradient reduction on the way back (see _reduce_sorted).
 
-    mode: "sort" | "scatter" | "auto" (sort when nothing was dropped,
-    scatter otherwise, via lax.cond)."""
+    mode: "sort" (fast path; REQUIRES dropped == 0, silently wrong
+    otherwise), "scatter" (XLA scatter-add, always exact), or "auto"
+    (default: fast sort path when nothing was dropped, the drop-tolerant
+    sort variant otherwise, via lax.cond — never the scatter)."""
 
     @jax.custom_vjp
     def core(packed_all, gid, eid, gstart, gcount, dropped):
@@ -121,7 +169,7 @@ def pack_gather(packed_all, gid, eid, gstart, gcount, dropped,
             g9 = jax.lax.cond(
                 dropped == 0,
                 lambda c: _reduce_sorted(c, eid, gstart, gcount),
-                lambda c: _reduce_scatter(c, gid, n),
+                lambda c: _reduce_sorted_dropped(c, eid, gstart, gcount),
                 cot)
         gpacked = jnp.concatenate(
             [g9, jnp.zeros((9, 1), cot.dtype)], axis=1)   # sentinel column
@@ -232,8 +280,16 @@ def _fwd_kernel(start_ref, count_ref, inst_ref, out_ref, chunk_vmem, sem,
     def _():
         dma(jnp.int32(0)).start()
 
+    # Per-chunk lane reductions are the VPU's most expensive shape (log2(ch)
+    # roll+add passes over every vreg); the color/contrib accumulators
+    # therefore stay (PIX, CH) elementwise inside the loop and reduce ONCE
+    # after it. ``done`` detection exploits that the lane cumprod is
+    # non-increasing: its last lane is the chunk total (invalid lanes
+    # contribute exactly 1.0), so a slice replaces the lane max-reduce. The
+    # frozen final transmittance (reference forward.cu:353-357: T stops at
+    # the last value >= 1e-4) still needs the masked lane min.
     def body(state):
-        c, t_col, done, cr, cg, cb, last = state
+        c, t_col, done, cacc, last = state
 
         @pl.when(c + 1 < n_chunks)
         def _():
@@ -249,37 +305,43 @@ def _fwd_kernel(start_ref, count_ref, inst_ref, out_ref, chunk_vmem, sem,
         alive = (cum >= STOP_T) & (done < 0.5)
         w = jnp.where(alive, alpha * cum_excl, 0.0)
 
-        cr = cr + jnp.sum(w * data[6:7, :], axis=1, keepdims=True)
-        cg = cg + jnp.sum(w * data[7:8, :], axis=1, keepdims=True)
-        cb = cb + jnp.sum(w * data[8:9, :], axis=1, keepdims=True)
+        cacc = (cacc[0] + w * data[6:7, :],
+                cacc[1] + w * data[7:8, :],
+                cacc[2] + w * data[8:9, :])
 
         if track_contrib:
             blended = alive & (alpha > 0.0)
             idx1 = (c * ch + lanes + 1).astype(jnp.float32)
-            last = jnp.maximum(last, jnp.max(
-                jnp.where(blended, idx1, 0.0), axis=1, keepdims=True))
+            last = jnp.maximum(last, jnp.where(blended, idx1, 0.0))
 
         t_col = jnp.min(jnp.where(alive, cum, t_col), axis=1, keepdims=True)
-        done = jnp.maximum(done, jnp.max(
-            jnp.where(cum < STOP_T, 1.0, 0.0), axis=1, keepdims=True))
-        return c + 1, t_col, done, cr, cg, cb, last
+        cum_last = cum[:, ch - 1:ch]
+        done = jnp.maximum(done,
+                           jnp.where(cum_last < STOP_T, 1.0, 0.0))
+        return c + 1, t_col, done, cacc, last
 
     def cond(state):
         c, _, done, *_ = state
         return (c < n_chunks) & (jnp.min(done) < 0.5)
 
-    zero = jnp.zeros((pix, 1), jnp.float32)
+    zeroc = jnp.zeros((pix, ch), jnp.float32)
     init = (jnp.int32(0), jnp.ones((pix, 1), jnp.float32),
-            zero, zero, zero, zero, zero)
-    c_stop, t_col, _, cr, cg, cb, last = jax.lax.while_loop(cond, body, init)
+            jnp.zeros((pix, 1), jnp.float32), (zeroc, zeroc, zeroc), zeroc)
+    c_stop, t_col, _, cacc, last = jax.lax.while_loop(cond, body, init)
 
     # on early exit the prefetched chunk c_stop has an outstanding DMA
     @pl.when(c_stop < n_chunks)
     def _():
         dma(c_stop).wait()
 
+    # single per-tile lane reductions of the deferred accumulators
+    cr = jnp.sum(cacc[0], axis=1, keepdims=True)
+    cg = jnp.sum(cacc[1], axis=1, keepdims=True)
+    cb = jnp.sum(cacc[2], axis=1, keepdims=True)
+    last_col = jnp.max(last, axis=1, keepdims=True)
+
     # out block (1, 8, PIX): transpose the (PIX, 1) columns into rows.
-    out = jnp.concatenate([cr, cg, cb, t_col, last,
+    out = jnp.concatenate([cr, cg, cb, t_col, last_col,
                            jnp.zeros((pix, 3), jnp.float32)], axis=1)
     out_ref[0] = out.T
 

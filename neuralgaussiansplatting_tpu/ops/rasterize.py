@@ -56,11 +56,29 @@ class RasterizeSettings:
                                    # sizing this to true aligned demand cuts
                                    # the gather/kernel/scatter stages (see
                                    # ops/binning.py). None => capacity.
+    precise_cull: bool = True      # per-instance diagonal-SAT coverage cull
+                                   # (image/grad-exact: drops only instances
+                                   # whose every pixel alpha < 1/255; see
+                                   # ops/binning.py). Shrinks pack/kernel/
+                                   # grad-reduce work ~proportionally to the
+                                   # corner-tile waste of rect binning.
     grad_reduce: str = "auto"      # backward per-Gaussian reduction:
                                    # "sort" (expansion-order cumsum-diff),
                                    # "scatter" (XLA scatter-add), or "auto"
                                    # (sort when no instances dropped; see
-                                   # blend_pallas.pack_gather)
+                                   # blend_pallas.pack_gather).
+                                   # Numerics: "scatter" sums each Gaussian's
+                                   # per-instance gradients sequentially and
+                                   # deterministically; "sort" takes them as
+                                   # differences of a blocked global cumsum,
+                                   # whose cancellation error is ABSOLUTE in
+                                   # the running-prefix magnitude (~1e-5 rel
+                                   # in practice, but a tiny-gradient Gaussian
+                                   # sitting after large-magnitude instances
+                                   # can see large RELATIVE error). "sort" is
+                                   # only valid when dropped == 0 (run
+                                   # boundaries assume the full expansion
+                                   # set); "auto" enforces that guard.
 
     @property
     def tiles(self):
@@ -82,6 +100,11 @@ class RenderOutput(NamedTuple):
     max_per_tile: jnp.ndarray # () int32 max true per-tile load (cap monitor)
     aligned_demand: jnp.ndarray  # () int32 packed-buffer demand (sizes
                                  # settings.packed_capacity)
+    dropped: jnp.ndarray      # () int32 instances lost to caps/truncation;
+                              # 0 => backward takes the fast sort-reduce path
+                              # (the drop-tolerant sort variant otherwise)
+    culled: jnp.ndarray       # () int32 instances removed exactly by the
+                              # precise coverage cull (zero contribution)
 
 
 def mark_visible(means3d: jnp.ndarray, cam: pp.CameraParams) -> jnp.ndarray:
@@ -129,7 +152,10 @@ def rasterize(
     inst = binning.bin_gaussians(
         pre, tiles_x, tiles_y, settings.capacity, settings.max_per_tile,
         settings.chunk, pack_keys=settings.fast_sort,
-        packed_capacity=settings.packed_capacity)
+        packed_capacity=settings.packed_capacity,
+        precise_cull=settings.precise_cull,
+        block_x=settings.block_x, block_y=settings.block_y,
+        width=cam.width, height=cam.height)
 
     if settings.backend == "pallas":
         from neuralgaussiansplatting_tpu.ops import blend_pallas
@@ -168,4 +194,6 @@ def rasterize(
         num_rendered=inst.num_rendered,
         max_per_tile=inst.max_tile_load,
         aligned_demand=inst.aligned_demand,
+        dropped=inst.dropped,
+        culled=inst.culled,
     )

@@ -36,6 +36,39 @@ class TrainState(NamedTuple):
     step: jnp.ndarray
 
 
+def tune_capacity(settings: rast.RasterizeSettings, num_rendered: int,
+                  aligned_demand: int, min_capacity: int = 1 << 16,
+                  max_capacity: int = 1 << 23):
+    """Re-bucket the instance buffers to the measured demand.
+
+    Binning cost scales with the static expansion buffer (``capacity``), and
+    the gather/kernels/grad-reduce with the packed buffer
+    (``packed_capacity``); both are re-bucketed with hysteresis (grow
+    eagerly — overflow drops instances — shrink only past comfortable slack,
+    since every bucket switch costs a recompile). Returns
+    (new_settings, changed)."""
+    changed = False
+    cap = settings.capacity
+    want = max(min_capacity,
+               1 << max(int(num_rendered * 1.4) - 1, 1).bit_length())
+    want = min(want, max_capacity)
+    if want > cap or want < cap // 4:
+        settings = dataclasses.replace(settings, capacity=want)
+        changed = True
+    # the packed buffer has no internal pow2 padding — bucket to 1/8ths
+    # between powers of two for a finer fit
+    kcap = settings.packed_capacity or settings.capacity
+    quantum = max(1 << max(int(aligned_demand * 1.25) - 1, 1).bit_length() - 3,
+                  min_capacity // 8)
+    kwant = min(max(min_capacity,
+                    -(-int(aligned_demand * 1.25) // quantum) * quantum),
+                max_capacity)
+    if kwant > kcap or kwant < kcap // 2:
+        settings = dataclasses.replace(settings, packed_capacity=kwant)
+        changed = True
+    return settings, changed
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("tx", "sh_degree", "settings", "lambda_dssim"))
@@ -72,6 +105,10 @@ def train_step(ts: TrainState, cam, gt, bg, *, tx, sh_degree, settings,
         "num_rendered": out["num_rendered"],
         "max_per_tile": out["max_per_tile"],
         "aligned_demand": out["aligned_demand"],
+        # dropped == 0 <=> the backward took the fast sort-reduce path (the
+        # drop-tolerant sort variant ran otherwise; see blend_pallas)
+        "dropped": out["dropped"],
+        "culled": out["culled"],
         "radii_max": jnp.max(out["radii"]),
     }
     return TrainState(params, gstate, opt_state, ts.step + 1), metrics
@@ -165,37 +202,16 @@ class Trainer:
                 if self.maybe_grow():
                     metrics["grew_capacity"] = self.ts.params.xyz.shape[0]
 
-        # instance-capacity re-bucketing: binning cost scales with the static
-        # buffer size, so track the true per-frame demand and re-jit onto the
-        # smallest sufficient power-of-two bucket (grow immediately on
-        # overflow, shrink only when comfortably below half)
+        # instance-capacity re-bucketing onto the measured demand (see
+        # tune_capacity)
         if self.auto_tune_capacity and iteration % self.tune_interval == 0:
-            demand = int(metrics["num_rendered"])
-            cap = self.settings.capacity
-            want = max(self.min_capacity,
-                       1 << max(int(demand * 1.4) - 1, 1).bit_length())
-            want = min(want, self.max_capacity)
-            # hysteresis: grow eagerly, shrink only past 4x slack (every
-            # bucket switch costs a recompile)
-            if want > cap or want < cap // 4:
-                self.settings = dataclasses.replace(
-                    self.settings, capacity=want)
-                metrics["retuned_capacity"] = want
-            # the packed (post-sort, chunk-aligned) buffer feeds the gather /
-            # blend kernels / gradient scatter, which scale with its TRUE
-            # size (no internal pow2 padding like the sort) — bucket it to
-            # 1/8ths between pow2s for finer fit
-            ademand = int(metrics["aligned_demand"])
-            kcap = self.settings.packed_capacity or self.settings.capacity
-            quantum = max(1 << max(int(ademand * 1.25) - 1, 1).bit_length() - 3,
-                          self.min_capacity // 8)
-            kwant = min(max(self.min_capacity,
-                            -(-int(ademand * 1.25) // quantum) * quantum),
-                        self.max_capacity)
-            if kwant > kcap or kwant < kcap // 2:
-                self.settings = dataclasses.replace(
-                    self.settings, packed_capacity=kwant)
-                metrics["retuned_packed_capacity"] = kwant
+            new_settings, tuned = tune_capacity(
+                self.settings, int(metrics["num_rendered"]),
+                int(metrics["aligned_demand"]),
+                self.min_capacity, self.max_capacity)
+            if tuned:
+                self.settings = new_settings
+                metrics["retuned_capacity"] = new_settings.capacity
 
         if self.debug and (self.debug_from < 0 or iteration >= self.debug_from):
             import math

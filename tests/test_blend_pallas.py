@@ -103,13 +103,19 @@ def test_grad_reduce_modes_agree():
         # sort path reassociates the sums (cumsum difference): tiny f32 drift
         np.testing.assert_allclose(b, a, atol=1e-5 * scale, rtol=1e-4,
                                    err_msg=name)
-        # no drops here => auto must take the sort branch bit-exactly
-        np.testing.assert_array_equal(c, b, err_msg=name)
+        # no drops here => auto takes the sort branch; XLA may compile the
+        # lax.cond branch body differently from the straight-line call, so
+        # gate at the same tight tolerance as sort-vs-scatter rather than
+        # bit-exactness (which would break on compiler changes alone)
+        np.testing.assert_allclose(c, a, atol=1e-5 * scale, rtol=1e-4,
+                                   err_msg=name)
 
 
 def test_grad_reduce_auto_falls_back_on_drops():
-    """When capacity drops instances, the expansion-order boundaries are
-    stale — auto must select the scatter path and stay exact."""
+    """When capacity drops instances, the fast expansion-order boundaries are
+    stale — auto must select the drop-tolerant sort variant, whose rank-based
+    boundaries reproduce the scatter-path sums exactly (up to blocked-cumsum
+    reassociation)."""
     import dataclasses
     cam, args = _scene(n=200, deg=0, seed=17)
     bg = jnp.zeros(3)
@@ -135,7 +141,9 @@ def test_grad_reduce_auto_falls_back_on_drops():
     g_auto = grads(dataclasses.replace(tiny, grad_reduce="auto"))
     g_scatter = grads(dataclasses.replace(tiny, grad_reduce="scatter"))
     for a, b in zip(g_scatter, g_auto):
-        np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(a).max() + 1e-8
+        np.testing.assert_allclose(b, a, atol=1e-5 * scale, rtol=1e-4)
 
 
 def test_reduce_sorted_matches_scatter_at_scale():
@@ -198,3 +206,68 @@ def test_pallas_inference_mode_track_contrib_off():
     for a, b in zip(gp, gf):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    atol=1e-6, rtol=1e-6)
+
+
+def test_precise_cull_is_image_and_grad_exact():
+    """The diagonal-SAT per-instance cull (ops/binning.py) must remove only
+    instances whose every pixel contribution the blend kernel would zero
+    anyway (alpha < 1/255, forward.cu:351) — images and gradients agree with
+    the uncull path to reassociation noise, while the instance stream
+    measurably shrinks."""
+    import dataclasses
+    cam, args = _scene(n=300, deg=1, seed=21, w=64, h=64)
+    bg = jnp.zeros(3)
+    base = rast.RasterizeSettings(capacity=1 << 14, max_per_tile=512, chunk=8,
+                                  backend="pallas", tight_culling=True)
+    off = dataclasses.replace(base, precise_cull=False)
+    on = dataclasses.replace(base, precise_cull=True)
+
+    o0 = rast.rasterize(*args, 1, cam, bg, off)
+    o1 = rast.rasterize(*args, 1, cam, bg, on)
+    assert int(o1.culled) > 0, "cull removed nothing on a dense scene"
+    assert int(o1.aligned_demand) <= int(o0.aligned_demand)
+    # chunk partitioning shifts reassociate the lane cumprod -> tiny noise
+    np.testing.assert_allclose(np.asarray(o1.color), np.asarray(o0.color),
+                               atol=2e-6)
+    np.testing.assert_allclose(np.asarray(o1.final_t),
+                               np.asarray(o0.final_t), atol=2e-6)
+
+    def grads(settings):
+        def f(means, scales, rot, opac, shs):
+            out = rast.rasterize(means, scales, rot, opac, shs, 1, cam, bg,
+                                 settings)
+            return jnp.sum(out.color ** 2) + jnp.sum(out.final_t)
+        return jax.grad(f, argnums=(0, 1, 2, 3, 4))(*args)
+
+    g0 = grads(dataclasses.replace(off, grad_reduce="scatter"))
+    g1 = grads(dataclasses.replace(on, grad_reduce="auto"))
+    for name, a, b in zip(["means", "scales", "rot", "opac", "shs"], g0, g1):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(a).max() + 1e-8
+        np.testing.assert_allclose(b, a, atol=2e-5 * scale, rtol=1e-3,
+                                   err_msg=name)
+
+
+def test_precise_cull_conservative_per_pixel():
+    """No culled instance may own a pixel with alpha >= 1/255: verify against
+    the per-pixel numpy oracle that the culled image equals the full blend
+    over EVERY gaussian (the cull must be conservative, not approximate)."""
+    import oracle
+    import dataclasses
+    cam, args = _scene(n=200, deg=0, seed=33, w=48, h=48)
+    bg = np.asarray([0.1, 0.2, 0.3], np.float32)
+    st = rast.RasterizeSettings(capacity=1 << 14, max_per_tile=512, chunk=8,
+                                backend="pallas", tight_culling=True,
+                                precise_cull=True)
+    out = rast.rasterize(*args, 0, cam, jnp.asarray(bg), st)
+    splats = oracle.preprocess_np(
+        *[np.asarray(a) for a in args], 0,
+        np.asarray(cam.view), np.asarray(cam.full_proj),
+        np.asarray(cam.campos), cam.tan_fovx, cam.tan_fovy,
+        cam.width, cam.height)
+    img_np, final_t_np, _ = oracle.render_np(splats, cam.width, cam.height,
+                                             bg)
+    got = np.transpose(np.asarray(out.color), (1, 2, 0))
+    np.testing.assert_allclose(got, img_np, atol=3e-5)
+    np.testing.assert_allclose(np.asarray(out.final_t), final_t_np,
+                               atol=3e-5)

@@ -318,3 +318,37 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     assert t2.restore_checkpoint_orbax(path) == 1
     np.testing.assert_allclose(np.asarray(t2.ts.params.xyz),
                                np.asarray(trainer.ts.params.xyz))
+
+
+def test_training_survives_sustained_overflow():
+    """Garden-regime stress: when per-tile caps + the packed buffer overflow
+    for many consecutive steps (whole-tile drops, reference scale README.md:
+    74-75), training must stay finite, the overflow monitors must fire, and
+    the backward must keep taking the (drop-tolerant) sort reduction — never
+    NaN, never silent corruption."""
+    cam = make_camera(W=48, H=48)
+    means, *_ = random_gaussians(n=120, deg=0, seed=11)
+    g = gm.GaussianModel(sh_degree=0)
+    g.params, g.state = gm.create_from_pcd(
+        means, np.random.default_rng(11).random((120, 3)),
+        np.zeros((120, 3)), 0, capacity=128)
+    # deliberately starved: tiny instance buffer + per-tile cap
+    settings = rast.RasterizeSettings(
+        capacity=1 << 9, max_per_tile=24, chunk=8, backend="pallas",
+        tight_culling=True, precise_cull=True, grad_reduce="auto")
+    trainer = train_loop.Trainer(
+        gaussians=g, settings=settings, auto_grow=False,
+        auto_tune_capacity=False)
+    gt = jnp.asarray(np.random.default_rng(12).random(
+        (3, 48, 48)).astype(np.float32))
+    dropped_seen = 0
+    for it in range(1, 31):
+        m = trainer.step(cam.params() if hasattr(cam, "params") else cam,
+                         gt, it)
+        assert np.isfinite(float(m["loss"])), f"NaN loss at iter {it}"
+        dropped_seen = max(dropped_seen, int(m["dropped"]))
+        assert int(m["num_rendered"]) > 0
+    assert dropped_seen > 0, "stress config failed to overflow"
+    # params stayed finite through 30 overflowing backward passes
+    for leaf in jax.tree_util.tree_leaves(trainer.ts.params):
+        assert np.isfinite(np.asarray(leaf)).all()

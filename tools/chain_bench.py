@@ -70,7 +70,7 @@ def main():
         settings = rast.RasterizeSettings(
             capacity=1216 * 1024, max_per_tile=2048, chunk=128,
             backend="pallas", fast_sort=True, tight_culling=True,
-            packed_capacity=1344 * 1024)
+            precise_cull=True, packed_capacity=1152 * 1024)
         gt = jnp.zeros((3, 800, 800))
         alive = state.alive
 

@@ -41,7 +41,7 @@ def main():
         settings = rast.RasterizeSettings(
             capacity=1216 * 1024, max_per_tile=2048, chunk=128,
             backend="pallas", fast_sort=True, tight_culling=True,
-            packed_capacity=1344 * 1024)
+            precise_cull=True, packed_capacity=1152 * 1024)
     else:
         w, h = 1920, 1080
         settings = rast.RasterizeSettings(
