@@ -44,6 +44,11 @@ class IdxMaps(NamedTuple):
     colmap: jnp.ndarray      # (H, W, 3) raw view directions
     depthmap: jnp.ndarray    # (H, W)
     featuremap: jnp.ndarray  # (H, W, 64)
+    num_inst: jnp.ndarray    # () int32 true pixel-instance demand; if this
+                             # exceeds the static ``capacity`` the deepest
+                             # instances were silently truncated — monitor it
+                             # and re-bucket capacity (the CUDA reference
+                             # reallocates per frame, rasterize_points.cu)
 
 
 def positional_encoding_3d(dirs: jnp.ndarray) -> jnp.ndarray:
@@ -60,13 +65,16 @@ def compute_idxmap(
     cam: CameraParams,
     capacity: int,
     alive: jnp.ndarray | None = None,
-) -> tuple[jnp.ndarray, jnp.ndarray]:
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Closest-Gaussian index per pixel.
 
-    Returns (idx (H*W,) int32 with -1 misses, depth (N,) view-space z).
-    Geometry is non-differentiable here by reference semantics. ``alive``
-    masks out capacity-padding slots (they sit at the origin and would win
-    z-buffer pixels).
+    Returns (idx (H*W,) int32 with -1 misses, depth (N,) view-space z,
+    num_inst () int32 true demand). When ``num_inst > capacity`` the
+    expansion buffer truncates (instances of high-index Gaussians drop, which
+    can corrupt z-buffer winners) — callers must monitor the returned demand
+    and grow ``capacity``. Geometry is non-differentiable here by reference
+    semantics. ``alive`` masks out capacity-padding slots (they sit at the
+    origin and would win z-buffer pixels).
     """
     means3d = jax.lax.stop_gradient(means3d)
     n = means3d.shape[0]
@@ -131,7 +139,7 @@ def compute_idxmap(
     dest = jnp.where(is_head, sorted_pix, w * h)
     idx = jnp.full(w * h, -1, jnp.int32).at[dest].set(
         sorted_gid, mode="drop", unique_indices=True)
-    return idx, depth
+    return idx, depth, num_inst
 
 
 def render_idxmaps(
@@ -148,7 +156,7 @@ def render_idxmaps(
     Gradients flow to ``features`` alone.
     """
     w, h = cam.width, cam.height
-    idx, depth = compute_idxmap(means3d, cam, capacity, alive)
+    idx, depth, num_inst = compute_idxmap(means3d, cam, capacity, alive)
     hit = idx >= 0
     safe = jnp.clip(idx, 0, means3d.shape[0] - 1)
 
@@ -171,4 +179,5 @@ def render_idxmaps(
         colmap=colmap.reshape(h, w, 3),
         depthmap=jnp.where(hit, d, 0.0).reshape(h, w),
         featuremap=fmap.reshape(h, w, NUM_FEATURES),
+        num_inst=num_inst,
     )

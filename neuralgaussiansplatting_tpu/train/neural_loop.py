@@ -79,6 +79,9 @@ def neural_train_step(ts: NeuralTrainState, cam, gt, *, sw, capacity, txs,
         "loss": loss,
         "psnr": losses.psnr(jnp.clip(out["render"], 0, 1), gt),
         "hit_rate": jnp.mean((out["idxmap"] >= 0).astype(jnp.float32)),
+        # true pixel-instance demand of the z-buffer pass; > capacity means
+        # winners may be wrong (expansion truncation) — the host autotunes
+        "idx_demand": out["num_inst"],
     }
     return NeuralTrainState(params, net_params, (g_state, n_state),
                             ts.step + 1, ts.alive), metrics
@@ -111,6 +114,17 @@ class NeuralTrainer:
             self.ts, cam, gt_image, sw=self.sw, capacity=self.capacity,
             txs=self.txs, lambda_dssim=self.opt.lambda_dssim,
             dtype=self.dtype)
+        # idxmap capacity autotune, mirroring the classic trainer's instance
+        # re-bucketing (train/loop.py): grow immediately on overflow —
+        # truncated expansion can corrupt z-buffer winners — shrink lazily.
+        step_no = int(self.ts.step)
+        if step_no % 100 == 0 or int(metrics["idx_demand"]) > self.capacity:
+            demand = int(metrics["idx_demand"])
+            want = 1 << max(int(demand * 1.4) - 1, 1).bit_length()
+            want = min(max(want, 1 << 16), 1 << 24)
+            if want > self.capacity or want < self.capacity // 4:
+                self.capacity = want
+                metrics["retuned_idx_capacity"] = want
         return metrics
 
     def sync_model(self):

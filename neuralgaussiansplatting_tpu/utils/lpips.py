@@ -70,10 +70,21 @@ def lpips_pair(params, a_chw, b_chw):
     return total
 
 
+def default_weights_path(net_type: str = "vgg") -> str:
+    """Conventional in-repo location for the exported weights artifact."""
+    root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    return os.path.join(root, "weights", f"lpips_{net_type}.npz")
+
+
 @functools.lru_cache(maxsize=1)
 def _load_params(net_type: str):
+    # $NGS_LPIPS_WEIGHTS wins; otherwise the conventional repo path
+    # (weights/lpips_<net>.npz — see weights/README.md for how to produce it)
     path = os.environ.get("NGS_LPIPS_WEIGHTS", "")
-    if not path or not os.path.exists(path):
+    if not path:
+        path = default_weights_path(net_type)
+    if not os.path.exists(path):
         return None
     data = np.load(path)
     return {k: data[k] for k in data.files}

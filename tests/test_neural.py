@@ -36,7 +36,7 @@ def test_idxmap_picks_closest():
     far_off = -np.asarray(cam.campos) / np.linalg.norm(cam.campos)
     far = near + far_off[None, :] * 1.0  # further along the view ray
     means = jnp.asarray(np.concatenate([far, near]).astype(np.float32))
-    idx, depth = idxmap_ops.compute_idxmap(means, cam, capacity=4096)
+    idx, depth, _ = idxmap_ops.compute_idxmap(means, cam, capacity=4096)
     idx = np.asarray(idx).reshape(32, 32)
     # center pixel must be won by the nearer point (index 1)
     cx = cy = 16
@@ -50,7 +50,7 @@ def test_idxmap_picks_closest():
 def test_idxmap_miss_is_minus_one():
     cam = make_camera(W=16, H=16)
     means = jnp.asarray(np.full((5, 3), 50.0, np.float32))  # off-screen
-    idx, _ = idxmap_ops.compute_idxmap(means, cam, capacity=512)
+    idx, _, _ = idxmap_ops.compute_idxmap(means, cam, capacity=512)
     assert (np.asarray(idx) == -1).all()
 
 
@@ -161,10 +161,10 @@ def test_idxmap_alive_mask_excludes_padding():
     means = np.array([[0.6, 0.6, 0.0]], np.float32)
     params, state = gm.create_from_pcd(
         means, np.random.rand(1, 3), np.zeros((1, 3)), 0, capacity=64)
-    idx, _ = idxmap_ops.compute_idxmap(
+    idx, _, _ = idxmap_ops.compute_idxmap(
         params.xyz, cam, capacity=4096, alive=state.alive)
     idx = np.asarray(idx)
     assert set(np.unique(idx)).issubset({-1, 0})
     # without the mask, origin-sitting padding slots would win center pixels
-    idx2, _ = idxmap_ops.compute_idxmap(params.xyz, cam, capacity=4096)
+    idx2, _, _ = idxmap_ops.compute_idxmap(params.xyz, cam, capacity=4096)
     assert (np.unique(np.asarray(idx2)) > 0).any()
