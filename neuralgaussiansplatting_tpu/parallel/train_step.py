@@ -56,15 +56,19 @@ def make_dp_train_step(mesh, tx, *, sh_degree: int,
             def one(cam, gt, off_i):
                 out = render(cam, params, alive, sh_degree, bg, settings,
                              means2d_offset=off_i)
+                mon = {k: out[k] for k in
+                       ("radii", "num_rendered", "max_per_tile",
+                        "aligned_demand", "dropped", "culled")}
+                mon["psnr"] = losses.psnr(jnp.clip(out["render"], 0, 1), gt)
                 return (losses.photometric_loss(out["render"], gt,
-                                                lambda_dssim),
-                        out["radii"])
-            per_cam_loss, radii = jax.vmap(one)(cams, gts, off)
-            return per_cam_loss.mean(), radii
+                                                lambda_dssim), mon)
+            per_cam_loss, mon = jax.vmap(one)(cams, gts, off)
+            return per_cam_loss.mean(), mon
 
-        (loss, radii), (gparams, goff) = jax.value_and_grad(
+        (loss, mon), (gparams, goff) = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True)(
                 ts.params, jnp.zeros((b, n, 2), jnp.float32))
+        radii = mon["radii"]
 
         gparams = jax.tree_util.tree_map(
             lambda g: jnp.where(
@@ -88,7 +92,18 @@ def make_dp_train_step(mesh, tx, *, sh_degree: int,
             + jnp.sum(jnp.where(visible, gnorm, 0.0), axis=0),
             denom=ts.gstate.denom + jnp.sum(visible, axis=0).astype(jnp.float32),
         )
-        metrics = {"loss": loss}
+        # full monitor set, batch-reduced: capacity monitors take the max
+        # over the batch (they size static buffers), quality metrics the mean
+        metrics = {
+            "loss": loss,
+            "psnr": jnp.mean(mon["psnr"]),
+            "num_rendered": jnp.max(mon["num_rendered"]),
+            "max_per_tile": jnp.max(mon["max_per_tile"]),
+            "aligned_demand": jnp.max(mon["aligned_demand"]),
+            "dropped": jnp.max(mon["dropped"]),
+            "culled": jnp.max(mon["culled"]),
+            "radii_max": jnp.max(radii),
+        }
         return TrainState(params, gstate, opt_state, ts.step + 1), metrics
 
     # Input placement (shard_batch / replicate_state) carries the shardings;
@@ -114,3 +129,169 @@ def replicate_state(mesh, ts: TrainState) -> TrainState:
     repl = NamedSharding(mesh, P())
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, repl) if hasattr(x, "ndim") else x, ts)
+
+
+# ---------------------------------------------------------------------------
+# Multi-device trainer: full reference schedule on sharded state
+# ---------------------------------------------------------------------------
+
+class DPTrainer:
+    """Data-parallel trainer with the full reference schedule (densify /
+    opacity reset / capacity autotune) on mesh-sharded state.
+
+    Promotes the one-step DP demo to a real trainer: each optimizer step
+    consumes a batch of B cameras (sharded over the mesh's ``data`` axis;
+    Gaussian state replicated, gradient psum over ICI), and the reference's
+    per-iteration schedule (train.py:112-123) is applied on the *camera
+    counter* — a batch step advances it by B, so densify cadence /
+    opacity-reset cadence / SH warmup match B sequential reference
+    iterations. Host-side control decisions (growth, autotune) depend only on
+    metrics that are identical across processes (multi-controller safe; see
+    parallel/distributed.host_broadcast_pytree for the guard helpers).
+    """
+
+    def __init__(self, gaussians, mesh, opt=None, settings=None,
+                 batch_size=None, white_background=False, cameras_extent=1.0,
+                 seed=0, auto_grow=True, auto_tune_capacity=True,
+                 tune_interval=500):
+        from neuralgaussiansplatting_tpu.train import loop as loop_mod
+        from neuralgaussiansplatting_tpu.train import optim
+
+        self.gaussians = gaussians
+        self.mesh = mesh
+        self.opt = opt or optim.OptimizationParams()
+        self.settings = settings or rast.RasterizeSettings()
+        self.batch_size = batch_size or mesh.shape["data"]
+        self.white_background = white_background
+        self.cameras_extent = cameras_extent
+        self.auto_grow = auto_grow
+        self.auto_tune_capacity = auto_tune_capacity
+        self.tune_interval = tune_interval
+        self._loop = loop_mod
+
+        self.tx = optim.make_optimizer(self.opt, gaussians.spatial_lr_scale)
+        ts = loop_mod.TrainState(
+            params=gaussians.params, gstate=gaussians.state,
+            opt_state=self.tx.init(gaussians.params), step=jnp.asarray(0))
+        self.ts = replicate_state(mesh, ts)
+        self.key = jax.random.PRNGKey(seed)
+        self.bg = jnp.asarray(
+            [1.0, 1.0, 1.0] if white_background else [0.0, 0.0, 0.0])
+        self._steps = {}
+        self._camera_iter = 0   # cameras consumed so far (reference iters)
+
+    def _step_fn(self):
+        key = (self.gaussians.active_sh_degree, self.settings)
+        if key not in self._steps:
+            self._steps[key] = make_dp_train_step(
+                self.mesh, self.tx,
+                sh_degree=self.gaussians.active_sh_degree,
+                settings=self.settings,
+                lambda_dssim=self.opt.lambda_dssim)
+        return self._steps[key]
+
+    def step(self, cams, gts):
+        """One DP optimizer step over a list of B per-view CameraParams and
+        a (B, 3, H, W) GT batch. Returns the metrics dict."""
+        b = len(cams) if isinstance(cams, (list, tuple)) else gts.shape[0]
+        it0 = self._camera_iter
+        self._camera_iter += b
+        it1 = self._camera_iter
+
+        def crossed(interval, lo=0, hi=None):
+            """Did [it0, it1) cross a multiple of ``interval``?"""
+            if hi is not None and it0 >= hi:
+                return False
+            lo = max(lo, 0)
+            last0, last1 = it0 // interval, it1 // interval
+            return last1 > last0 and it1 > lo
+
+        if crossed(1000):
+            self.gaussians.oneup_sh_degree()
+
+        batch = stack_cameras(cams) if isinstance(cams, (list, tuple)) else cams
+        batch, gts = shard_batch(self.mesh, batch, jnp.asarray(gts))
+        self.ts, metrics = self._step_fn()(self.ts, batch, gts, self.bg)
+
+        opt = self.opt
+        if it1 <= opt.densify_until_iter:
+            if (it1 > opt.densify_from_iter
+                    and crossed(opt.densification_interval)):
+                self.key, sub = jax.random.split(self.key)
+                use_size = it1 > opt.opacity_reset_interval
+                self.ts, report = self._loop.densify_step(
+                    self.ts, sub, jnp.asarray(self.cameras_extent),
+                    cfg=opt, use_size_prune=use_size)
+                metrics["densify"] = report
+            if crossed(opt.opacity_reset_interval) or (
+                    self.white_background
+                    and it0 < opt.densify_from_iter <= it1):
+                self.ts = self._loop.reset_opacity_step(self.ts)
+            if self.auto_grow and "densify" in metrics:
+                if self.maybe_grow():
+                    metrics["grew_capacity"] = self.ts.params.xyz.shape[0]
+
+        if self.auto_tune_capacity and crossed(self.tune_interval):
+            new_settings, tuned = self._loop.tune_capacity(
+                self.settings, int(metrics["num_rendered"]),
+                int(metrics["aligned_demand"]))
+            if tuned:
+                self.settings = new_settings
+                metrics["retuned_capacity"] = new_settings.capacity
+        return metrics
+
+    def maybe_grow(self, headroom: float = 0.85, factor: int = 2) -> bool:
+        """Capacity growth on sharded state (duck-typed reuse of
+        Trainer.maybe_grow — it only touches ``self.ts`` — followed by
+        re-replication and a step-cache flush for the new bucket shape)."""
+        grown = self._loop.Trainer.maybe_grow(self, headroom, factor)
+        if grown:
+            self.ts = replicate_state(self.mesh, self.ts)
+            self._steps.clear()
+        return grown
+
+    # reference-format pickle checkpoints, reusing the single-device
+    # implementations (they only touch self.gaussians / self.ts); restore
+    # re-places the state onto the mesh
+    def save_checkpoint(self, path: str, iteration: int):
+        self._loop.Trainer.save_checkpoint(self, path, iteration)
+
+    def restore_checkpoint(self, path: str) -> int:
+        it = self._loop.Trainer.restore_checkpoint(self, path)
+        self.ts = replicate_state(self.mesh, self.ts)
+        self._camera_iter = it
+        self._steps.clear()
+        return it
+
+    def sync_model(self):
+        self.gaussians.params = self.ts.params
+        self.gaussians.state = self.ts.gstate
+
+
+def training_dp(scene, trainer: DPTrainer, iterations: int, log_every=100,
+                progress=None):
+    """DP analog of train/loop.py:training — consumes the camera stack in
+    batches of ``trainer.batch_size``; ``iterations`` counts cameras
+    (reference iterations), not optimizer steps."""
+    import numpy as np
+    rng = np.random.default_rng(0)
+    stack, cam_cache = [], {}
+    history = []
+    while trainer._camera_iter < iterations:
+        b = trainer.batch_size
+        while len(stack) < b:
+            stack.extend(rng.permutation(len(scene.get_train_cameras())))
+        picks = [scene.get_train_cameras()[int(stack.pop())]
+                 for _ in range(b)]
+        cams = [cam_cache.setdefault(c.uid, c.params()) for c in picks]
+        gts = jnp.stack([jnp.asarray(c.image) for c in picks])
+        metrics = trainer.step(cams, gts)
+        it = trainer._camera_iter
+        if it % log_every < b or it >= iterations:
+            m = {k: float(v) for k, v in metrics.items() if k != "densify"}
+            m["iter"] = it
+            history.append(m)
+            if progress:
+                progress(m)
+    trainer.sync_model()
+    return history

@@ -129,3 +129,84 @@ def test_dp_batched_stats_match_sequential():
     np.testing.assert_allclose(np.asarray(ts2.gstate.xyz_gradient_accum),
                                np.asarray(seq_state.xyz_gradient_accum),
                                rtol=1e-4, atol=1e-7)
+
+
+def _tiny_model(capacity=128, n=60, seed=7):
+    means, *_ = random_gaussians(n=n, deg=0, seed=seed)
+    g = gm.GaussianModel(sh_degree=0)
+    g.params, g.state = gm.create_from_pcd(
+        means, np.random.default_rng(seed).random((n, 3)),
+        np.zeros((n, 3)), 0, capacity=capacity)
+    return g
+
+
+def _run_dp(n_data, steps=25, batch=4, seed=5, densify=True):
+    mesh = mesh_lib.make_mesh(n_data=n_data, n_tile=1)
+    g = _tiny_model()
+    opt = optim.OptimizationParams(
+        densify_from_iter=20 if densify else 10_000,
+        densification_interval=40,
+        opacity_reset_interval=10_000, densify_until_iter=10_000)
+    tr = pts.DPTrainer(g, mesh, opt=opt, settings=SETTINGS,
+                       batch_size=batch, cameras_extent=1.0, seed=seed,
+                       auto_tune_capacity=False)
+    cam_list = [make_camera(W=24, H=24, angle=a)
+                for a in np.linspace(0, 2.8, batch)]
+    rng = np.random.default_rng(seed)
+    gt = jnp.asarray(rng.random((batch, 3, 24, 24)).astype(np.float32))
+    losses_seen = []
+    for _ in range(steps):
+        m = tr.step(cam_list, gt)
+        losses_seen.append(float(m["loss"]))
+    tr.sync_model()
+    return tr, losses_seen
+
+
+def test_dp_trainer_device_count_invariant():
+    """The DP trainer computes the same training trajectory on a 4-device
+    data mesh as on a single device — sharding changes only the reduction
+    layout, not the math. (Densify disabled here: its grad >= tau candidate
+    selection can flip on last-ulp psum reassociation and then diverge
+    chaotically; the densify-enabled mesh path is covered below.)"""
+    tr4, l4 = _run_dp(4, densify=False)
+    tr1, l1 = _run_dp(1, densify=False)
+    np.testing.assert_allclose(l4, l1, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(tr4.ts.params.xyz),
+                               np.asarray(tr1.ts.params.xyz),
+                               rtol=1e-4, atol=1e-5)
+    assert tr4._camera_iter == 100
+    assert np.mean(l4[-5:]) < np.mean(l4[:5])
+
+
+def test_dp_trainer_densify_on_mesh():
+    """The full schedule (densify + stat resets) runs on mesh-sharded state:
+    densification fires, state stays finite, loss keeps decreasing."""
+    tr, l = _run_dp(4, steps=25, densify=True)
+    alive = int(jnp.sum(tr.ts.gstate.alive))
+    assert alive >= 60                       # clones/splits landed (or none
+    assert np.isfinite(l).all()              # pruned below the seed count)
+    assert np.mean(l[-5:]) < np.mean(l[:5])
+    # densify stats were consumed and reset on the sharded pytrees
+    assert np.isfinite(np.asarray(tr.ts.gstate.xyz_gradient_accum)).all()
+
+
+def test_dp_trainer_checkpoint_roundtrip(tmp_path):
+    """Checkpoint save/restore on mesh-sharded state resumes identically."""
+    tr, _ = _run_dp(4, steps=6)
+    path = str(tmp_path / "dp.ckpt")
+    tr.save_checkpoint(path, 24)
+
+    mesh = mesh_lib.make_mesh(n_data=4, n_tile=1)
+    g2 = _tiny_model()
+    tr2 = pts.DPTrainer(g2, mesh, settings=SETTINGS, batch_size=4,
+                        auto_tune_capacity=False)
+    assert tr2.restore_checkpoint(path) == 24
+    np.testing.assert_array_equal(np.asarray(tr.ts.params.xyz),
+                                  np.asarray(tr2.ts.params.xyz))
+    cam_list = [make_camera(W=24, H=24, angle=a)
+                for a in np.linspace(0, 2.8, 4)]
+    gt = jnp.zeros((4, 3, 24, 24))
+    m1 = tr.step(cam_list, gt)
+    m2 = tr2.step(cam_list, gt)
+    np.testing.assert_allclose(float(m2["loss"]), float(m1["loss"]),
+                               rtol=1e-5)
