@@ -19,7 +19,7 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
 import jax
 import jax.numpy as jnp
 
-from neuralgaussiansplatting_tpu.ops.binning import _blocked_cumsum_i32
+from neuralgaussiansplatting_tpu.ops.binning import _blocked_cumsum
 
 ITERS = 24
 
@@ -118,7 +118,7 @@ def run_suite(tag, cap, K, N):
         hi = jnp.round(v * jnp.float32(2.0 ** -15)).astype(jnp.int32)
         lo = jnp.round(v - hi.astype(jnp.float32)
                        * jnp.float32(2.0 ** 15)).astype(jnp.int32)
-        cs = _blocked_cumsum_i32(jnp.concatenate([hi, lo], axis=1))
+        cs = _blocked_cumsum(jnp.concatenate([hi, lo], axis=1))
         d = cs[bounds] - cs[jnp.maximum(bounds - 7, 0)]
         out = (d[:, :9].astype(jnp.float32) * jnp.float32(2.0 ** 15)
                + d[:, 9:].astype(jnp.float32)) / scale
