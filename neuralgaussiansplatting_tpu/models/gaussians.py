@@ -40,8 +40,15 @@ class GaussianParams(NamedTuple):
 
     xyz: jnp.ndarray            # (P, 3)
     normals: jnp.ndarray        # (P, 3) (neural pipeline; not optimized group)
-    features_dc: jnp.ndarray    # (P, 1, 3)
-    features_rest: jnp.ndarray  # (P, K-1, 3)
+    features_dc: jnp.ndarray    # (P, 3) SH DC (rgb)
+    features_rest: jnp.ndarray  # (P, 3*(K-1)) higher SH, coefficient-major
+                                # ([l1 rgb, l2 rgb, ...]). Stored FLAT: a
+                                # rank-3 (P, K-1, 3) array takes a TPU tiled
+                                # layout padding the 3-wide minor dim to 128
+                                # lanes — 42x memory, an observed 41 GB
+                                # staging copy at 5M Gaussians. The reference
+                                # PLY schema (channel-major f_rest) is
+                                # converted at I/O time only.
     features: jnp.ndarray       # (P, 64) neural features
     scaling: jnp.ndarray        # (P, 3) log-scale
     rotation: jnp.ndarray       # (P, 4) quaternion wxyz
@@ -82,8 +89,22 @@ def get_opacity(p: GaussianParams, alive: jnp.ndarray | None = None) -> jnp.ndar
 
 
 def get_features(p: GaussianParams) -> jnp.ndarray:
-    """(P, K, 3) concatenated SH coefficients (dc + rest)."""
+    """(P, 3*K) concatenated SH coefficients (dc + rest), coefficient-major
+    flat (see GaussianParams.features_rest for why not (P, K, 3))."""
     return jnp.concatenate([p.features_dc, p.features_rest], axis=1)
+
+
+def normalize_params(params: GaussianParams) -> GaussianParams:
+    """Flatten legacy rank-3 SH leaves ((P, 1, 3) / (P, K-1, 3) from
+    pre-flat-layout checkpoints) into the current flat coefficient-major
+    (P, 3) / (P, 3*(K-1)) storage. Row-major reshape IS the coefficient-major
+    flattening, so the conversion is a view."""
+    dc, rest = params.features_dc, params.features_rest
+    if hasattr(dc, "ndim") and dc.ndim == 3:
+        dc = dc.reshape(dc.shape[0], -1)
+    if hasattr(rest, "ndim") and rest.ndim == 3:
+        rest = rest.reshape(rest.shape[0], -1)
+    return params._replace(features_dc=dc, features_rest=rest)
 
 
 def get_covariance(p: GaussianParams, scaling_modifier: float = 1.0) -> jnp.ndarray:
@@ -128,8 +149,8 @@ def create_from_pcd(points: np.ndarray, colors: np.ndarray,
     k = (sh_degree + 1) ** 2
 
     fused_color = np.asarray(RGB2SH(np.asarray(colors, np.float32)))
-    features_dc = fused_color[:, None, :]                      # (N, 1, 3)
-    features_rest = np.zeros((n, k - 1, 3), np.float32)
+    features_dc = fused_color                                  # (N, 3)
+    features_rest = np.zeros((n, 3 * (k - 1)), np.float32)
 
     dist2 = np.maximum(knn.mean_sq_dist_3nn(points), 1e-7)
     scales = np.log(np.sqrt(dist2))[:, None].repeat(3, axis=1)
@@ -165,8 +186,8 @@ def create_from_pcd(points: np.ndarray, colors: np.ndarray,
 
 def ply_attribute_names(params: GaussianParams):
     names = ["x", "y", "z", "nx", "ny", "nz"]
-    names += [f"f_dc_{i}" for i in range(params.features_dc.shape[1] * 3)]
-    names += [f"f_rest_{i}" for i in range(params.features_rest.shape[1] * 3)]
+    names += [f"f_dc_{i}" for i in range(params.features_dc.shape[1])]
+    names += [f"f_rest_{i}" for i in range(params.features_rest.shape[1])]
     names += [f"features_{i}" for i in range(params.features.shape[1])]
     names += ["opacity"]
     names += [f"scale_{i}" for i in range(params.scaling.shape[1])]
@@ -180,10 +201,13 @@ def save_ply(path: str, params: GaussianParams, alive: jnp.ndarray):
     mask = np.asarray(alive)
     p = {k: np.asarray(v)[mask] for k, v in params._asdict().items()}
     n = p["xyz"].shape[0]
+    # reference schema stores f_rest channel-major (gaussian_model.py:
+    # 316-317 transpose); our flat storage is coefficient-major -> convert
+    f_rest = p["features_rest"].reshape(n, -1, 3).transpose(0, 2, 1)
     cols = np.concatenate([
         p["xyz"], p["normals"],
-        p["features_dc"].transpose(0, 2, 1).reshape(n, -1),
-        p["features_rest"].transpose(0, 2, 1).reshape(n, -1),
+        p["features_dc"],
+        f_rest.reshape(n, -1),
         p["features"], p["opacity"], p["scaling"], p["rotation"],
     ], axis=1)
     ply_io.write_ply(path, ply_attribute_names(params), cols)
@@ -209,12 +233,14 @@ def load_ply(path: str, capacity: int | None = None):
         normals = np.stack([v["nx"], v["ny"], v["nz"]], axis=1).astype(np.float32)
     else:
         normals = np.zeros_like(xyz)
-    f_dc = grab("f_dc", 3).reshape(n, 3, 1).transpose(0, 2, 1)
+    f_dc = grab("f_dc", 3)
     n_rest = len([x for x in names if x.startswith("f_rest_")])
     if n_rest:
-        f_rest = grab("f_rest", n_rest).reshape(n, 3, n_rest // 3).transpose(0, 2, 1)
+        # channel-major on disk (reference schema) -> coefficient-major flat
+        f_rest = grab("f_rest", n_rest).reshape(
+            n, 3, n_rest // 3).transpose(0, 2, 1).reshape(n, -1)
     else:
-        f_rest = np.zeros((n, 0, 3), np.float32)
+        f_rest = np.zeros((n, 0), np.float32)
     n_feat = len([x for x in names if x.startswith("features_")])
     feats = grab("features", n_feat) if n_feat else np.zeros(
         (n, NUM_NEURAL_FEATURES), np.float32)
@@ -295,8 +321,8 @@ class GaussianModel:
         self.active_sh_degree = payload["active_sh_degree"]
         self.max_sh_degree = payload["max_sh_degree"]
         self.spatial_lr_scale = payload["spatial_lr_scale"]
-        self.params = GaussianParams(
-            *[jnp.asarray(x) for x in payload["params"]])
+        self.params = normalize_params(GaussianParams(
+            *[jnp.asarray(x) for x in payload["params"]]))
         self.state = GaussianState(
             *[jnp.asarray(x) for x in payload["state"]])
 

@@ -42,45 +42,54 @@ def eval_sh(deg: int, sh: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
 
     Args:
       deg: static degree in {0, 1, 2, 3}.
-      sh: (..., K, C) coefficients with K >= (deg+1)**2.
+      sh: (..., K, C) coefficients with K >= (deg+1)**2, OR flat
+        (..., K*3) in coefficient-major order ([l0 rgb, l1 rgb, ...]).
+        The flat layout is the production one: rank-3 (N, K, 3) arrays get
+        a TPU tiled layout that pads the 3-wide minor dim to 128 lanes
+        (42x memory at multi-million-Gaussian scale — an observed 41 GB
+        input-staging copy at 5M); flat 2-D coefficients avoid it.
       dirs: (..., 3) unit directions.
 
     Returns:
       (..., C) values (no +0.5 shift, no clamp — see ``sh_to_rgb_color``).
     """
     assert 0 <= deg <= 3
-    result = SH_C0 * sh[..., 0, :]
+    if sh.ndim == dirs.ndim:          # flat coefficient-major layout
+        c = lambda l: sh[..., 3 * l:3 * l + 3]
+    else:
+        c = lambda l: sh[..., l, :]
+    result = SH_C0 * c(0)
     if deg > 0:
         x = dirs[..., 0:1]
         y = dirs[..., 1:2]
         z = dirs[..., 2:3]
         result = (
             result
-            - SH_C1 * y * sh[..., 1, :]
-            + SH_C1 * z * sh[..., 2, :]
-            - SH_C1 * x * sh[..., 3, :]
+            - SH_C1 * y * c(1)
+            + SH_C1 * z * c(2)
+            - SH_C1 * x * c(3)
         )
         if deg > 1:
             xx, yy, zz = x * x, y * y, z * z
             xy, yz, xz = x * y, y * z, x * z
             result = (
                 result
-                + SH_C2[0] * xy * sh[..., 4, :]
-                + SH_C2[1] * yz * sh[..., 5, :]
-                + SH_C2[2] * (2.0 * zz - xx - yy) * sh[..., 6, :]
-                + SH_C2[3] * xz * sh[..., 7, :]
-                + SH_C2[4] * (xx - yy) * sh[..., 8, :]
+                + SH_C2[0] * xy * c(4)
+                + SH_C2[1] * yz * c(5)
+                + SH_C2[2] * (2.0 * zz - xx - yy) * c(6)
+                + SH_C2[3] * xz * c(7)
+                + SH_C2[4] * (xx - yy) * c(8)
             )
             if deg > 2:
                 result = (
                     result
-                    + SH_C3[0] * y * (3.0 * xx - yy) * sh[..., 9, :]
-                    + SH_C3[1] * xy * z * sh[..., 10, :]
-                    + SH_C3[2] * y * (4.0 * zz - xx - yy) * sh[..., 11, :]
-                    + SH_C3[3] * z * (2.0 * zz - 3.0 * xx - 3.0 * yy) * sh[..., 12, :]
-                    + SH_C3[4] * x * (4.0 * zz - xx - yy) * sh[..., 13, :]
-                    + SH_C3[5] * z * (xx - yy) * sh[..., 14, :]
-                    + SH_C3[6] * x * (xx - 3.0 * yy) * sh[..., 15, :]
+                    + SH_C3[0] * y * (3.0 * xx - yy) * c(9)
+                    + SH_C3[1] * xy * z * c(10)
+                    + SH_C3[2] * y * (4.0 * zz - xx - yy) * c(11)
+                    + SH_C3[3] * z * (2.0 * zz - 3.0 * xx - 3.0 * yy) * c(12)
+                    + SH_C3[4] * x * (4.0 * zz - xx - yy) * c(13)
+                    + SH_C3[5] * z * (xx - yy) * c(14)
+                    + SH_C3[6] * x * (xx - 3.0 * yy) * c(15)
                 )
     return result
 
@@ -95,7 +104,7 @@ def sh_to_rgb_color(deg: int, sh: jnp.ndarray, means: jnp.ndarray,
 
     Args:
       deg: SH degree (static).
-      sh: (N, K, 3).
+      sh: (N, K, 3) or flat (N, K*3) coefficient-major.
       means: (N, 3) world positions.
       campos: (3,) camera center.
 

@@ -39,8 +39,8 @@ def test_strip_cameras_match_monolithic():
     params = params._replace(
         scaling=jnp.asarray(np.log(scales)), rotation=jnp.asarray(rot),
         opacity=jnp.asarray(np.log(opac / (1 - opac))[:, None]),
-        features_dc=jnp.asarray(shs[:, :1]),
-        features_rest=jnp.asarray(shs[:, 1:]))
+        features_dc=jnp.asarray(shs[:, 0]),
+        features_rest=jnp.asarray(shs[:, 1:].reshape(len(shs), -1)))
     img = render_sp.render_strips(cams, params, state.alive, 1, bg, SETTINGS)
     np.testing.assert_allclose(np.asarray(img), np.asarray(mono.color),
                                atol=1e-5)

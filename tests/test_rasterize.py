@@ -189,7 +189,7 @@ def test_precomp_paths_match():
         scaling=jnp.asarray(pad(np.log(scales))),
         rotation=jnp.asarray(np.concatenate(
             [rot, np.tile([1, 0, 0, 0], (16, 1))]).astype(np.float32)),
-        features_rest=jnp.asarray(pad(shs[:, 1:])),
+        features_rest=jnp.asarray(pad(shs[:, 1:].reshape(len(shs), -1))),
     )
     bg = jnp.asarray([0.3, 0.2, 0.1])
     base = render_fn(cam, params, state.alive, 2, bg, SETTINGS)

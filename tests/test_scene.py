@@ -155,7 +155,7 @@ def test_gaussian_init_semantics():
     normals = rng.normal(size=(50, 3))
     params, state = gm.create_from_pcd(pts, colors, normals, 3, capacity=64)
     assert params.xyz.shape == (64, 3)
-    assert params.features_rest.shape == (64, 15, 3)
+    assert params.features_rest.shape == (64, 45)
     assert params.features.shape == (64, 64)
     assert int(np.asarray(state.alive).sum()) == 50
     # opacity activates to 0.1; padding slots render at 0
@@ -169,7 +169,7 @@ def test_gaussian_init_semantics():
                                rtol=1e-5)
     # DC from colors
     np.testing.assert_allclose(
-        np.asarray(params.features_dc)[:50, 0],
+        np.asarray(params.features_dc)[:50],
         (colors - 0.5) / 0.28209479177387814, rtol=1e-5)
 
 
