@@ -69,12 +69,9 @@ def tune_capacity(settings: rast.RasterizeSettings, num_rendered: int,
     return settings, changed
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("tx", "sh_degree", "settings", "lambda_dssim"))
-def train_step(ts: TrainState, cam, gt, bg, *, tx, sh_degree, settings,
-               lambda_dssim):
-    """One fused render+loss+grad+Adam+stats step."""
+def _train_step_core(ts: TrainState, cam, gt, bg, *, tx, sh_degree, settings,
+                     lambda_dssim):
+    """One fused render+loss+grad+Adam+stats step (untraced core)."""
     n = ts.params.xyz.shape[0]
 
     def loss_fn(params, off):
@@ -112,6 +109,32 @@ def train_step(ts: TrainState, cam, gt, bg, *, tx, sh_degree, settings,
         "radii_max": jnp.max(out["radii"]),
     }
     return TrainState(params, gstate, opt_state, ts.step + 1), metrics
+
+
+train_step = functools.partial(
+    jax.jit, static_argnames=("tx", "sh_degree", "settings", "lambda_dssim")
+)(_train_step_core)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tx", "sh_degree", "settings", "lambda_dssim"))
+def train_steps(ts: TrainState, cams, gts, bg, *, tx, sh_degree, settings,
+                lambda_dssim):
+    """B sequential train steps in ONE dispatch (lax.scan over a stacked
+    camera pytree + (B, 3, H, W) GT batch).
+
+    Identical math to B ``train_step`` calls — the scan carries the exact
+    same state chain — but pays the host->device dispatch latency once per
+    block instead of once per iteration (~30 ms per call over a tunneled
+    device; on pods this also shrinks the host control gap). Returns stacked
+    (B, ...) metrics."""
+    def one(ts, inp):
+        cam, gt = inp
+        return _train_step_core(ts, cam, gt, bg, tx=tx, sh_degree=sh_degree,
+                                settings=settings, lambda_dssim=lambda_dssim)
+
+    return jax.lax.scan(one, ts, (cams, gts))
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "use_size_prune"))
@@ -221,6 +244,62 @@ class Trainer:
                 raise FloatingPointError(
                     f"non-finite loss at iteration {iteration}; inputs "
                     f"dumped to {path}")
+        return metrics
+
+    def step_block(self, cams, gts, first_iteration: int):
+        """Run ``B = gts.shape[0]`` sequential iterations in ONE device
+        dispatch (train_steps' lax.scan): bitwise the same step chain as B
+        ``step`` calls, minus B-1 dispatch round-trips. Schedule events (SH
+        warmup / densify / opacity reset / autotune) whose iteration falls
+        inside the block are applied at its edges (warmup before, density
+        control after); pick a block size dividing densification_interval
+        (default 100) so events land exactly on block boundaries and the
+        trajectory matches per-iteration stepping. ``cams`` is a stacked
+        CameraParams pytree (leading axis B)."""
+        b = int(gts.shape[0])
+        it0, it1 = first_iteration, first_iteration + b - 1  # inclusive
+        block = range(it0, it1 + 1)
+        if any(i % 1000 == 0 for i in block):
+            self.gaussians.oneup_sh_degree()
+        if self.opt.random_background:
+            self.key, sub = jax.random.split(self.key)
+            bg = jax.random.uniform(sub, (3,))
+        else:
+            bg = self.bg
+
+        self.ts, ms = train_steps(
+            self.ts, cams, gts, bg, tx=self.tx,
+            sh_degree=self.gaussians.active_sh_degree,
+            settings=self.settings, lambda_dssim=self.opt.lambda_dssim)
+        metrics = {k: v[-1] for k, v in ms.items()}
+
+        opt = self.opt
+        if it0 < opt.densify_until_iter:
+            if any(i > opt.densify_from_iter
+                   and i % opt.densification_interval == 0 for i in block):
+                self.key, sub = jax.random.split(self.key)
+                use_size = it1 > opt.opacity_reset_interval
+                self.ts, report = densify_step(
+                    self.ts, sub, jnp.asarray(self.cameras_extent),
+                    cfg=opt, use_size_prune=use_size)
+                metrics["densify"] = report
+            if any(i % opt.opacity_reset_interval == 0 for i in block) or (
+                    self.white_background
+                    and it0 <= opt.densify_from_iter <= it1):
+                self.ts = reset_opacity_step(self.ts)
+            if self.auto_grow and "densify" in metrics:
+                if self.maybe_grow():
+                    metrics["grew_capacity"] = self.ts.params.xyz.shape[0]
+
+        if self.auto_tune_capacity and any(
+                i % self.tune_interval == 0 for i in block):
+            new_settings, tuned = tune_capacity(
+                self.settings, int(metrics["num_rendered"]),
+                int(metrics["aligned_demand"]),
+                self.min_capacity, self.max_capacity)
+            if tuned:
+                self.settings = new_settings
+                metrics["retuned_capacity"] = new_settings.capacity
         return metrics
 
     def maybe_grow(self, headroom: float = 0.85, factor: int = 2) -> bool:
@@ -343,7 +422,8 @@ class Trainer:
         self.gaussians.spatial_lr_scale = payload["spatial_lr_scale"]
         to_dev = functools.partial(jax.tree_util.tree_map, jnp.asarray)
         self.ts = TrainState(
-            params=gm.GaussianParams(*to_dev(tuple(payload["params"]))),
+            params=gm.normalize_params(
+                gm.GaussianParams(*to_dev(tuple(payload["params"])))),
             gstate=gm.GaussianState(*to_dev(tuple(payload["gstate"]))),
             opt_state=jax.tree_util.tree_map(jnp.asarray, payload["opt_state"]),
             step=jnp.asarray(payload["iteration"]),
@@ -359,6 +439,7 @@ def training(scene, trainer: Trainer, iterations: int,
     rng = np.random.default_rng(trainer.seed)
     cam_params = None
     stack = []
+    gt_cache = {}
     history = []
     t0 = time.time()
     for iteration in range(1, iterations + 1):
@@ -368,7 +449,11 @@ def training(scene, trainer: Trainer, iterations: int,
         if cam_params is None:
             cam_params = {}
         cp = cam_params.setdefault(cam.uid, cam.params())
-        gt = jnp.asarray(cam.image)
+        # GT stays cached on device: re-uploading it every iteration costs
+        # more than the train step over a tunneled device
+        gt = gt_cache.get(cam.uid)
+        if gt is None:
+            gt = gt_cache[cam.uid] = jnp.asarray(cam.image)
 
         metrics = trainer.step(cp, gt, iteration)
         if iteration % log_every == 0 or iteration == iterations:

@@ -352,3 +352,50 @@ def test_training_survives_sustained_overflow():
     # params stayed finite through 30 overflowing backward passes
     for leaf in jax.tree_util.tree_leaves(trainer.ts.params):
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_multi_step_block_matches_per_iteration():
+    """steps_per_call block dispatch (train_steps lax.scan) must reproduce
+    the per-iteration trainer trajectory when the block size divides the
+    schedule intervals."""
+    from neuralgaussiansplatting_tpu.parallel.train_step import stack_cameras
+
+    cams = [make_camera(W=32, H=32, angle=a) for a in (0.0, 0.9, 1.8, 2.7)]
+    rng = np.random.default_rng(21)
+    gts = [jnp.asarray(rng.random((3, 32, 32)).astype(np.float32))
+           for _ in cams]
+    settings = rast.RasterizeSettings(capacity=1 << 12, max_per_tile=256,
+                                      chunk=8, backend="pallas")
+    opt = optim.OptimizationParams(
+        densify_from_iter=8, densification_interval=8,
+        opacity_reset_interval=10_000, densify_until_iter=10_000)
+
+    def make_trainer():
+        g = gm.GaussianModel(sh_degree=1)
+        means, *_ = random_gaussians(n=50, deg=1, seed=22)
+        g.params, g.state = gm.create_from_pcd(
+            means, np.random.default_rng(22).random((50, 3)),
+            np.zeros((50, 3)), 1, capacity=96)
+        return train_loop.Trainer(gaussians=g, opt=opt, settings=settings,
+                                  auto_tune_capacity=False, seed=5)
+
+    t1 = make_trainer()
+    for it in range(1, 25):
+        m1 = t1.step(cams[(it - 1) % 4].params()
+                     if hasattr(cams[0], "params") else cams[(it - 1) % 4],
+                     gts[(it - 1) % 4], it)
+
+    t2 = make_trainer()
+    for blk in range(6):   # 6 blocks of 4 = 24 iterations
+        idx = [(blk * 4 + j) % 4 for j in range(4)]
+        cb = stack_cameras([cams[i].params() if hasattr(cams[0], "params")
+                            else cams[i] for i in idx])
+        gb = jnp.stack([gts[i] for i in idx])
+        m2 = t2.step_block(cb, gb, blk * 4 + 1)
+
+    np.testing.assert_allclose(float(m2["loss"]), float(m1["loss"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(t2.ts.params.xyz),
+                               np.asarray(t1.ts.params.xyz),
+                               rtol=1e-5, atol=1e-6)
+    assert int(t2.ts.step) == int(t1.ts.step) == 24

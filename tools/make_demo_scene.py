@@ -61,10 +61,21 @@ def main():
     from neuralgaussiansplatting_tpu.ops.preprocess import CameraParams
     from neuralgaussiansplatting_tpu.scene import ply as ply_io
 
+    import jax
+
     means, scales, rot, opac, colors = gt_gaussians(args.n_gaussians)
     shs = np.asarray(RGB2SH(colors))[:, None, :]
     settings = rast.RasterizeSettings(capacity=1 << 20, max_per_tile=1024,
                                       chunk=128)
+
+    @jax.jit
+    def render_view(cp):
+        # jitted: an eager rasterize pays per-op dispatch latency over the
+        # device tunnel (~20 s/view at 800^2)
+        return rast.rasterize(
+            jnp.asarray(means), jnp.asarray(scales), jnp.asarray(rot),
+            jnp.asarray(opac), jnp.asarray(shs), 0, cp,
+            jnp.zeros(3), settings)
 
     size = args.size
     fovx = math.radians(50.0)
@@ -104,10 +115,7 @@ def main():
             ang = 2 * math.pi * i / count + offset
             elev = 0.35 + 0.3 * math.sin(i * 1.7)
             cp, c2w = cam_at(ang, elev)
-            out = rast.rasterize(
-                jnp.asarray(means), jnp.asarray(scales), jnp.asarray(rot),
-                jnp.asarray(opac), jnp.asarray(shs), 0, cp,
-                jnp.zeros(3), settings)
+            out = render_view(cp)
             img = np.asarray(jnp.clip(out.color, 0, 1))
             arr = (img.transpose(1, 2, 0) * 255).astype(np.uint8)
             alpha = ((1.0 - np.asarray(out.final_t)) * 255).astype(np.uint8)

@@ -97,6 +97,14 @@ def main():
     parser.add_argument("--model_capacity", type=int, default=None,
                         help="Gaussian slot capacity (default: point count)")
     parser.add_argument("--disable_viewer", action="store_true")
+    parser.add_argument("--steps_per_call", type=int, default=1,
+                        help="iterations fused into one device dispatch "
+                             "(lax.scan); pick a divisor of "
+                             "densification_interval so schedule events land "
+                             "on block boundaries")
+    parser.add_argument("--gt_cache_mb", type=int, default=4096,
+                        help="device-side GT image cache budget (MB); "
+                             "avoids re-uploading GT every iteration")
     parser.add_argument("--profile_dir", type=str, default=None,
                         help="write a jax profiler trace for iterations "
                              "100..110 to this directory")
@@ -177,6 +185,11 @@ def main():
 
     rng = np.random.default_rng(0)
     stack = []
+    cam_cache, gt_cache, gt_cache_bytes = {}, {}, [0]
+    spc = max(1, args.steps_per_call)
+    pending = []          # (CameraParams, gt) awaiting a block dispatch
+    flush_set = (set(args.test_iterations) | set(args.save_iterations)
+                 | set(args.checkpoint_iterations or []))
     ema_loss = 0.0
     progress = tqdm(range(first_iter + 1, opt.iterations + 1),
                     desc="Training progress")
@@ -216,12 +229,43 @@ def main():
         if not stack:
             stack = list(rng.permutation(len(scene.get_train_cameras())))
         cam = scene.get_train_cameras()[stack.pop()]
-        metrics = trainer.step(cam.params(), jnp.asarray(cam.image), iteration)
+        # device-side caches: re-uploading an 800^2 GT every iteration costs
+        # more than the train step itself over a tunneled device (~8 MB/it)
+        cp = cam_cache.get(cam.uid)
+        if cp is None:
+            cp = cam_cache[cam.uid] = cam.params()
+        gt = gt_cache.get(cam.uid)
+        if gt is None:
+            if gt_cache_bytes[0] < args.gt_cache_mb * (1 << 20):
+                gt = gt_cache[cam.uid] = jnp.asarray(cam.image)
+                gt_cache_bytes[0] += gt.size * 4
+            else:
+                gt = jnp.asarray(cam.image)
+        if spc > 1:
+            # multi-step dispatch: N sequential iterations per jitted call
+            # (train_steps lax.scan) — same math, 1/N the per-call dispatch
+            # latency. Blocks flush at size, at the end, and at any
+            # test/save/checkpoint iteration so host-visible state is
+            # current whenever it is read.
+            pending.append((cp, gt))
+            if (len(pending) == spc or iteration == opt.iterations
+                    or iteration in flush_set):
+                from neuralgaussiansplatting_tpu.parallel.train_step import (
+                    stack_cameras)
+                cams_b = stack_cameras([c for c, _ in pending])
+                gts_b = jnp.stack([g for _, g in pending])
+                metrics = trainer.step_block(
+                    cams_b, gts_b, iteration - len(pending) + 1)
+                pending = []
+            else:
+                metrics = None
+        else:
+            metrics = trainer.step(cp, gt, iteration)
 
-        if iteration % 10 == 0:
+        if metrics is not None and iteration % 50 < spc:
             ema_loss = 0.4 * float(metrics["loss"]) + 0.6 * ema_loss
             progress.set_postfix({"Loss": f"{ema_loss:.7f}"})
-        training_report(tb_writer, iteration, metrics, trainer, scene,
+        training_report(tb_writer, iteration, metrics or {}, trainer, scene,
                         settings, set(args.test_iterations))
         if iteration in args.save_iterations:
             print(f"\n[ITER {iteration}] Saving Gaussians")

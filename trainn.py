@@ -79,14 +79,21 @@ def main():
 
     rng = np.random.default_rng(0)
     stack = []
+    cam_cache, gt_cache = {}, {}
     ema_loss = 0.0
     progress = tqdm(range(1, opt.iterations + 1), desc="Neural training")
     for iteration in progress:
         if not stack:
             stack = list(rng.permutation(len(scene.get_train_cameras())))
         cam = scene.get_train_cameras()[stack.pop()]
-        metrics = trainer.step(cam.params(), jnp.asarray(cam.image))
-        if iteration % 10 == 0:
+        # keep cameras + GT cached on device (re-uploading GT each iteration
+        # costs more than the step itself over a tunneled device)
+        cp = cam_cache.setdefault(cam.uid, cam.params())
+        gt = gt_cache.get(cam.uid)
+        if gt is None:
+            gt = gt_cache[cam.uid] = jnp.asarray(cam.image)
+        metrics = trainer.step(cp, gt)
+        if iteration % 50 == 0:
             ema_loss = 0.4 * float(metrics["loss"]) + 0.6 * ema_loss
             progress.set_postfix({"Loss": f"{ema_loss:.7f}"})
 
