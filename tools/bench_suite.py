@@ -89,7 +89,8 @@ def main():
     # --- config 1: 256x256, 10k, SH0 fwd+bwd --------------------------------
     s1 = rast.RasterizeSettings(capacity=1 << 19, max_per_tile=2048,
                                 chunk=128, backend="pallas",
-                                fast_sort=True, tight_culling=True)
+                                fast_sort=True, tight_culling=True,
+                                precise_cull=True)
     dt = train_step_time(256, 256, 10_000, 0, s1)
     emit("fwd+bwd 256x256 10k SH0", 256 * 256 / dt / 1e6, "Mpix/s")
 
@@ -97,26 +98,45 @@ def main():
     s2 = rast.RasterizeSettings(capacity=1216 * 1024, max_per_tile=2048,
                                 chunk=128, backend="pallas",
                                 fast_sort=True, tight_culling=True,
-                                packed_capacity=1344 * 1024)
+                                precise_cull=True,
+                                packed_capacity=1152 * 1024)
     dt = train_step_time(800, 800, 100_000, 3, s2)
     emit("fwd+bwd 800x800 100k SH3", 800 * 800 / dt / 1e6, "Mpix/s",
          baseline=1920 * 1080 * 30 / 1e6)
 
     # --- 1080p forward-only fps (reference headline: >=30 fps) --------------
-    # capacity sized to true aligned demand (4.49M) so no tiles drop
-    s3 = rast.RasterizeSettings(capacity=4608 * 1024, max_per_tile=2048,
-                                chunk=128, backend="pallas",
-                                fast_sort=True, tight_culling=True,
-                                packed_capacity=4608 * 1024)
+    # packed capacity sized by a demand probe so the cull savings are taken
+    # without any tile drops
     params, state, cam = _demo_scene(n=100_000, w=1920, h=1080, sh_degree=3)
     alive = state.alive
+    # capacity 2^22: demand is 4.03M and the sort pads to the next power of
+    # two, so anything over 2^22 doubles the sort domain (+5 ms measured)
+    probe = rast.RasterizeSettings(capacity=1 << 22, max_per_tile=2048,
+                                   chunk=128, backend="pallas",
+                                   fast_sort=True, tight_culling=True,
+                                   precise_cull=True)
+    po = jax.jit(lambda p: render(cam, p, alive, 3, jnp.zeros(3), probe)
+                 )(params)
+    ademand = int(po["aligned_demand"])
+    kcap = ((int(ademand * 1.02) >> 17) + 1) << 17
+    print(json.dumps({"metric": "1080p demand probe",
+                      "aligned_demand": ademand,
+                      "culled": int(po["culled"]),
+                      "num_rendered": int(po["num_rendered"]),
+                      "packed_capacity": kcap}), flush=True)
+    s3 = rast.RasterizeSettings(capacity=1 << 22, max_per_tile=2048,
+                                chunk=128, backend="pallas",
+                                fast_sort=True, tight_culling=True,
+                                precise_cull=True, packed_capacity=kcap)
 
     def make_fwd():
         def step(p, s):
             p2 = p._replace(xyz=p.xyz + s)
             out = render(cam, p2, alive, 3, jnp.zeros(3), s3)
+            # full-array mean: a strided-slice consumer here costs real
+            # milliseconds per iteration (see DESIGN negative results)
             return p._replace(
-                xyz=p.xyz + 1e-30 * jnp.sum(out["render"][:, ::270, ::384]))
+                xyz=p.xyz + 1e-30 * jnp.mean(out["render"]))
         return step
 
     dt = chain_time(make_fwd, params)

@@ -57,6 +57,7 @@ def main():
         "--iterations", str(args.iters),
         "--test_iterations", *[str(m) for m in milestones],
         "--save_iterations", str(args.iters),
+        "--steps_per_call", "10",
     ]
     proc = subprocess.run(cmd, capture_output=True, text=True)
     wall = time.time() - t0
