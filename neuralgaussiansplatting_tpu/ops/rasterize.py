@@ -41,7 +41,10 @@ class RasterizeSettings:
     capacity: int = 1 << 18        # global instance buffer (CUDA: dynamic)
     max_per_tile: int = 1024       # per-tile blend cap
     chunk: int = 32                # instances blended per scan step
-    backend: str = "pallas"        # "pallas" | "xla"
+    backend: str = "pallas"        # "pallas" (16x16 lane-layout kernels) |
+                                   # "seq" (32x32 sequential-instance
+                                   # kernels, ops/blend_seq.py; requires
+                                   # block_x=block_y=32, chunk=128) | "xla"
     scale_modifier: float = 1.0
     fast_sort: bool = False        # packed [tile|depth] key (see binning)
     tight_culling: bool = False    # opacity-adaptive per-axis rects (see
@@ -160,6 +163,15 @@ def rasterize(
     if settings.backend == "pallas":
         from neuralgaussiansplatting_tpu.ops import blend_pallas
         res = blend_pallas.blend_tiles(
+            inst, pre.means2d, pre.conic, pre.opacity, pre.rgb,
+            tiles_x, tiles_y, settings.block_x, settings.block_y,
+            settings.max_per_tile, settings.chunk,
+            track_contrib=settings.track_contrib,
+            grad_reduce=settings.grad_reduce,
+        )
+    elif settings.backend == "seq":
+        from neuralgaussiansplatting_tpu.ops import blend_seq
+        res = blend_seq.blend_tiles_seq(
             inst, pre.means2d, pre.conic, pre.opacity, pre.rgb,
             tiles_x, tiles_y, settings.block_x, settings.block_y,
             settings.max_per_tile, settings.chunk,

@@ -87,6 +87,66 @@ def main():
         print("classic fwd+bwd 800^2 100k SH3: %7.1f ms  (%5.2f Mpix/s)"
               % (t, 800 * 800 / t / 1e3), flush=True)
 
+    elif which in ("classic_fb_seq", "classic_fwd_seq"):
+        params, state, cam = _demo_scene(n=100_000, w=800, h=800, sh_degree=3)
+        settings = rast.RasterizeSettings(
+            block_x=32, block_y=32, capacity=512 * 1024, max_per_tile=4096,
+            chunk=128, backend="seq", fast_sort=True, tight_culling=True,
+            precise_cull=True, packed_capacity=512 * 1024)
+        gt = jnp.zeros((3, 800, 800))
+        alive = state.alive
+
+        if which == "classic_fb_seq":
+            def make_body():
+                def body(p, s):
+                    def loss(p):
+                        out = render(cam, p, alive, 3, jnp.zeros(3), settings)
+                        return losses.photometric_loss(out["render"], gt + s,
+                                                       0.2)
+                    _, g = jax.value_and_grad(loss)(p)
+                    return jax.tree.map(lambda a, b: a - 1e-30 * b, p, g)
+                return body
+
+            t = chain(make_body, params, iters=8)
+            print("seq fwd+bwd 800^2 100k SH3:   %7.1f ms  (%5.2f Mpix/s)"
+                  % (t, 800 * 800 / t / 1e3), flush=True)
+        else:
+            def make_body():
+                def body(carry, s):
+                    p, fb = carry
+                    bg = jnp.zeros(3) + 1e-30 * jnp.mean(fb)
+                    out = render(cam, p, alive, 3, bg, settings)
+                    return (p, out["render"])
+                return body
+
+            fb0 = jnp.zeros((3, 800, 800))
+            t = chain(make_body, (params, fb0), iters=8)
+            print("seq fwd 800^2 100k SH3:       %7.1f ms  (%5.2f Mpix/s)"
+                  % (t, 800 * 800 / t / 1e3), flush=True)
+
+    elif which == "classic_fwd1080_seq":
+        params, state, cam = _demo_scene(n=100_000, w=1920, h=1080,
+                                         sh_degree=3)
+        settings = rast.RasterizeSettings(
+            block_x=32, block_y=32, capacity=1 << 21, max_per_tile=8192,
+            chunk=128, backend="seq", fast_sort=True, tight_culling=True,
+            precise_cull=True, packed_capacity=1 << 21,
+            track_contrib=False)
+        alive = state.alive
+
+        def make_body():
+            def body(carry, s):
+                p, fb = carry
+                bg = jnp.zeros(3) + 1e-30 * jnp.mean(fb)
+                out = render(cam, p, alive, 3, bg, settings)
+                return (p, out["render"])
+            return body
+
+        fb0 = jnp.zeros((3, 1080, 1920))
+        t = chain(make_body, (params, fb0), iters=8)
+        print("seq fwd 1080p 100k SH3:       %7.1f ms  (%5.2f fps)"
+              % (t, 1000 / t), flush=True)
+
     elif which == "classic_fwd1080":
         params, state, cam = _demo_scene(n=100_000, w=1920, h=1080,
                                          sh_degree=3)
