@@ -44,7 +44,9 @@ class PipelineParams:
     compute_cov3D_python: bool = False
     debug: bool = False
     # TPU-native extensions:
-    backend: str = "pallas"        # "pallas" | "xla" blend path
+    backend: str = "pallas"        # "pallas" | "seq" | "xla" blend path
+                                   # ("seq" = 32x32 sequential-instance
+                                   # kernels, the fastest TPU path)
     capacity: int = 1 << 20        # instance buffer (static, monitored)
     max_per_tile: int = 4096       # per-tile depth cap
     tight_culling: bool = True     # opacity-adaptive rects (image-exact; see

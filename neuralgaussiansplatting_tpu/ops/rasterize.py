@@ -94,6 +94,19 @@ class RasterizeSettings:
         )
 
 
+def make_settings(backend: str = "pallas", **kw) -> "RasterizeSettings":
+    """Backend-appropriate settings: the seq path fixes its tile/chunk shape
+    (32x32 tiles, 128-wide chunks); pallas uses 16x16 tiles with 128-wide
+    chunks; the XLA oracle scans 32 instances at a time."""
+    if backend == "seq":
+        kw.setdefault("block_x", 32)
+        kw.setdefault("block_y", 32)
+        kw.setdefault("chunk", 128)
+    else:
+        kw.setdefault("chunk", 128 if backend == "pallas" else 32)
+    return RasterizeSettings(backend=backend, **kw)
+
+
 class RenderOutput(NamedTuple):
     color: jnp.ndarray        # (3, H, W) composited image (reference layout)
     final_t: jnp.ndarray      # (H, W)

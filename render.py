@@ -61,9 +61,8 @@ def main():
                   load_iteration=args.iteration, shuffle=False)
     bg = jnp.asarray([1.0, 1.0, 1.0] if dataset.white_background
                      else [0.0, 0.0, 0.0])
-    settings = rast.RasterizeSettings(
-        capacity=pipe.capacity, max_per_tile=pipe.max_per_tile,
-        backend=pipe.backend, chunk=128 if pipe.backend == "pallas" else 32)
+    settings = rast.make_settings(
+        pipe.backend, capacity=pipe.capacity, max_per_tile=pipe.max_per_tile)
 
     if not args.skip_train:
         render_set(dataset.model_path, "train", scene.loaded_iter,

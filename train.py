@@ -155,9 +155,8 @@ def main():
         cap = 1 << max(int(np.ceil(np.log2(max(n * 4, 1024)))), 10)
         gaussians.create_from_pcd_capacity = cap  # informational
 
-    settings = rast.RasterizeSettings(
-        capacity=pipe.capacity, max_per_tile=pipe.max_per_tile,
-        backend=pipe.backend, chunk=128 if pipe.backend == "pallas" else 32,
+    settings = rast.make_settings(
+        pipe.backend, capacity=pipe.capacity, max_per_tile=pipe.max_per_tile,
         tight_culling=pipe.tight_culling)
     opt = optim.OptimizationParams(
         **{f: getattr(opt_args, f) for f in (
