@@ -31,6 +31,15 @@ def stack_cameras(cams) -> CameraParams:
     """Stack equal-resolution CameraParams into one batched pytree
     (leading axis = camera)."""
     first = cams[0]
+    for c in cams[1:]:
+        if (c.tan_fovx, c.tan_fovy, c.width, c.height) != (
+                first.tan_fovx, first.tan_fovy, first.width, first.height):
+            raise ValueError(
+                "stack_cameras requires identical static intrinsics "
+                f"(tan_fov/size); got {(c.tan_fovx, c.tan_fovy, c.width, c.height)} "
+                f"vs {(first.tan_fovx, first.tan_fovy, first.width, first.height)} "
+                "— batch only cameras that share them (or use "
+                "steps_per_call=1 / per-resolution groups)")
     return CameraParams(
         view=jnp.stack([jnp.asarray(c.view) for c in cams]),
         full_proj=jnp.stack([jnp.asarray(c.full_proj) for c in cams]),
@@ -198,13 +207,13 @@ class DPTrainer:
         self._camera_iter += b
         it1 = self._camera_iter
 
-        def crossed(interval, lo=0, hi=None):
-            """Did [it0, it1) cross a multiple of ``interval``?"""
-            if hi is not None and it0 >= hi:
-                return False
-            lo = max(lo, 0)
-            last0, last1 = it0 // interval, it1 // interval
-            return last1 > last0 and it1 > lo
+        def crossed(interval, after=0):
+            """Did (it0, it1] cross a multiple m of ``interval`` with
+            m > after? Mirrors the reference gate ``iteration > after and
+            iteration % interval == 0`` (train.py:118) batched over the
+            step's camera range."""
+            m = (it1 // interval) * interval
+            return m > it0 and m > after
 
         if crossed(1000):
             self.gaussians.oneup_sh_degree()
@@ -215,8 +224,8 @@ class DPTrainer:
 
         opt = self.opt
         if it1 <= opt.densify_until_iter:
-            if (it1 > opt.densify_from_iter
-                    and crossed(opt.densification_interval)):
+            if crossed(opt.densification_interval,
+                       after=opt.densify_from_iter):
                 self.key, sub = jax.random.split(self.key)
                 use_size = it1 > opt.opacity_reset_interval
                 self.ts, report = self._loop.densify_step(

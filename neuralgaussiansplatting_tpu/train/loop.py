@@ -119,22 +119,24 @@ train_step = functools.partial(
 @functools.partial(
     jax.jit,
     static_argnames=("tx", "sh_degree", "settings", "lambda_dssim"))
-def train_steps(ts: TrainState, cams, gts, bg, *, tx, sh_degree, settings,
+def train_steps(ts: TrainState, cams, gts, bgs, *, tx, sh_degree, settings,
                 lambda_dssim):
     """B sequential train steps in ONE dispatch (lax.scan over a stacked
-    camera pytree + (B, 3, H, W) GT batch).
+    camera pytree + (B, 3, H, W) GT batch + (B, 3) per-step backgrounds).
 
     Identical math to B ``train_step`` calls — the scan carries the exact
-    same state chain — but pays the host->device dispatch latency once per
-    block instead of once per iteration (~30 ms per call over a tunneled
+    same state chain, and per-step backgrounds scan along so
+    ``random_background`` draws one color per iteration exactly like
+    per-iteration stepping — but pays the host->device dispatch latency once
+    per block instead of once per iteration (~30 ms per call over a tunneled
     device; on pods this also shrinks the host control gap). Returns stacked
     (B, ...) metrics."""
     def one(ts, inp):
-        cam, gt = inp
+        cam, gt, bg = inp
         return _train_step_core(ts, cam, gt, bg, tx=tx, sh_degree=sh_degree,
                                 settings=settings, lambda_dssim=lambda_dssim)
 
-    return jax.lax.scan(one, ts, (cams, gts))
+    return jax.lax.scan(one, ts, (cams, gts, bgs))
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "use_size_prune"))
@@ -191,7 +193,17 @@ class Trainer:
 
     def step(self, cam, gt_image, iteration: int):
         """One training iteration given a camera + GT; handles the reference
-        schedule (SH warmup, densify window, opacity reset)."""
+        schedule (SH warmup, densify window, opacity reset).
+
+        Callers that evaluate at milestone iterations should instead call
+        ``grad_step`` -> report -> ``apply_schedule``: the reference runs
+        ``training_report`` BEFORE the densify/opacity-reset block
+        (train.py:107-123), so milestone evals must see pre-reset state."""
+        metrics = self.grad_step(cam, gt_image, iteration)
+        return self.apply_schedule(iteration, metrics)
+
+    def grad_step(self, cam, gt_image, iteration: int):
+        """The gradient phase only: SH warmup + fused render/loss/Adam."""
         # SH degree warmup every 1000 iterations (train.py:72-73)
         if iteration % 1000 == 0:
             self.gaussians.oneup_sh_degree()
@@ -207,6 +219,19 @@ class Trainer:
             sh_degree=self.gaussians.active_sh_degree,
             settings=self.settings, lambda_dssim=self.opt.lambda_dssim)
 
+        if self.debug and (self.debug_from < 0 or iteration >= self.debug_from):
+            import math
+            if not math.isfinite(float(metrics["loss"])):
+                path = os.path.join(self.snapshot_dir, "snapshot_fw.pkl")
+                self.dump_debug_snapshot(cam, gt_image, iteration, path)
+                raise FloatingPointError(
+                    f"non-finite loss at iteration {iteration}; inputs "
+                    f"dumped to {path}")
+        return metrics
+
+    def apply_schedule(self, iteration: int, metrics):
+        """Density control + capacity management for one iteration
+        (reference train.py:112-123; runs AFTER training_report there)."""
         # densification window (train.py:112-123)
         if iteration < self.opt.densify_until_iter:
             if (iteration > self.opt.densify_from_iter
@@ -235,15 +260,6 @@ class Trainer:
             if tuned:
                 self.settings = new_settings
                 metrics["retuned_capacity"] = new_settings.capacity
-
-        if self.debug and (self.debug_from < 0 or iteration >= self.debug_from):
-            import math
-            if not math.isfinite(float(metrics["loss"])):
-                path = os.path.join(self.snapshot_dir, "snapshot_fw.pkl")
-                self.dump_debug_snapshot(cam, gt_image, iteration, path)
-                raise FloatingPointError(
-                    f"non-finite loss at iteration {iteration}; inputs "
-                    f"dumped to {path}")
         return metrics
 
     def step_block(self, cams, gts, first_iteration: int):
@@ -255,24 +271,39 @@ class Trainer:
         control after); pick a block size dividing densification_interval
         (default 100) so events land exactly on block boundaries and the
         trajectory matches per-iteration stepping. ``cams`` is a stacked
-        CameraParams pytree (leading axis B)."""
+        CameraParams pytree (leading axis B).
+
+        As with ``step``, milestone-evaluating callers should use
+        ``grad_step_block`` -> report -> ``apply_schedule_block`` so evals
+        see pre-densify/pre-reset state (reference train.py:107-123)."""
+        b = int(gts.shape[0])
+        metrics = self.grad_step_block(cams, gts, first_iteration)
+        return self.apply_schedule_block(
+            first_iteration, first_iteration + b - 1, metrics)
+
+    def grad_step_block(self, cams, gts, first_iteration: int):
+        """Gradient phase of ``step_block``: B scanned steps, one dispatch."""
         b = int(gts.shape[0])
         it0, it1 = first_iteration, first_iteration + b - 1  # inclusive
         block = range(it0, it1 + 1)
         if any(i % 1000 == 0 for i in block):
             self.gaussians.oneup_sh_degree()
         if self.opt.random_background:
+            # one background per iteration, as in per-iteration stepping
             self.key, sub = jax.random.split(self.key)
-            bg = jax.random.uniform(sub, (3,))
+            bgs = jax.random.uniform(sub, (b, 3))
         else:
-            bg = self.bg
+            bgs = jnp.broadcast_to(self.bg, (b, 3))
 
         self.ts, ms = train_steps(
-            self.ts, cams, gts, bg, tx=self.tx,
+            self.ts, cams, gts, bgs, tx=self.tx,
             sh_degree=self.gaussians.active_sh_degree,
             settings=self.settings, lambda_dssim=self.opt.lambda_dssim)
-        metrics = {k: v[-1] for k, v in ms.items()}
+        return {k: v[-1] for k, v in ms.items()}
 
+    def apply_schedule_block(self, it0: int, it1: int, metrics):
+        """Density control + capacity management for a completed block."""
+        block = range(it0, it1 + 1)
         opt = self.opt
         if it0 < opt.densify_until_iter:
             if any(i > opt.densify_from_iter
@@ -421,11 +452,21 @@ class Trainer:
         self.gaussians.active_sh_degree = payload["active_sh_degree"]
         self.gaussians.spatial_lr_scale = payload["spatial_lr_scale"]
         to_dev = functools.partial(jax.tree_util.tree_map, jnp.asarray)
+        # Legacy (pre-flat SH layout) checkpoints carry rank-3 leaves in BOTH
+        # the params and the Adam moments; normalize the whole GaussianParams
+        # nodes of the optimizer state too, or the first restored step fails
+        # on a (P, K-1, 3) moment vs (P, 3(K-1)) gradient shape mismatch.
+        opt_state = jax.tree_util.tree_map(jnp.asarray, payload["opt_state"])
+        opt_state = jax.tree_util.tree_map(
+            lambda x: gm.normalize_params(x)
+            if isinstance(x, gm.GaussianParams) else x,
+            opt_state,
+            is_leaf=lambda x: isinstance(x, gm.GaussianParams))
         self.ts = TrainState(
             params=gm.normalize_params(
                 gm.GaussianParams(*to_dev(tuple(payload["params"])))),
             gstate=gm.GaussianState(*to_dev(tuple(payload["gstate"]))),
-            opt_state=jax.tree_util.tree_map(jnp.asarray, payload["opt_state"]),
+            opt_state=opt_state,
             step=jnp.asarray(payload["iteration"]),
         )
         self.sync_model()

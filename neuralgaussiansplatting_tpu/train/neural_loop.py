@@ -115,10 +115,13 @@ class NeuralTrainer:
             txs=self.txs, lambda_dssim=self.opt.lambda_dssim,
             dtype=self.dtype)
         # idxmap capacity autotune, mirroring the classic trainer's instance
-        # re-bucketing (train/loop.py): grow immediately on overflow —
-        # truncated expansion can corrupt z-buffer winners — shrink lazily.
+        # re-bucketing (train/loop.py). Only materialize the device scalar on
+        # the periodic cadence — an every-step int() forces a blocking
+        # host<->device sync that serializes async dispatch; overflow between
+        # checks is tolerated by the 1.4x headroom plus the z-buffer's
+        # conservative truncation accounting.
         step_no = int(self.ts.step)
-        if step_no % 100 == 0 or int(metrics["idx_demand"]) > self.capacity:
+        if step_no % 100 == 0:
             demand = int(metrics["idx_demand"])
             want = 1 << max(int(demand * 1.4) - 1, 1).bit_length()
             want = min(max(want, 1 << 16), 1 << 24)

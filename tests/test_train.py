@@ -399,3 +399,55 @@ def test_multi_step_block_matches_per_iteration():
                                np.asarray(t1.ts.params.xyz),
                                rtol=1e-5, atol=1e-6)
     assert int(t2.ts.step) == int(t1.ts.step) == 24
+
+
+def test_legacy_rank3_checkpoint_restore_and_step(tmp_path):
+    """Pre-flat-SH-layout checkpoints carry (P, K, 3) feature leaves in both
+    the params AND the Adam moments; restore must normalize both or the first
+    step after restoring fails on a moment/gradient shape mismatch."""
+    import pickle
+    params, state = _tiny_model(n=30, capacity=32)
+    g = gm.GaussianModel(sh_degree=1)
+    g.params, g.state = params, state
+    trainer = train_loop.Trainer(gaussians=g, cameras_extent=1.0)
+    trainer.settings = rast.RasterizeSettings(capacity=1 << 12,
+                                              max_per_tile=128, chunk=16)
+    cam = make_camera(W=16, H=16)
+    gt = jnp.zeros((3, 16, 16))
+    for it in range(1, 4):
+        trainer.step(cam, gt, it)
+    path = str(tmp_path / "legacy.pkl")
+    trainer.save_checkpoint(path, 3)
+
+    # rewrite the payload with legacy rank-3 SH leaves (params + moments)
+    with open(path, "rb") as f:
+        payload = pickle.load(f)
+
+    def to_rank3(p):
+        # optax masked states hold MaskedNode placeholders for frozen
+        # fields — convert only real rank-2 feature arrays
+        def conv(x):
+            if getattr(x, "ndim", 0) == 2 and x.shape[1] and x.shape[1] % 3 == 0:
+                return np.asarray(x).reshape(x.shape[0], -1, 3)
+            return x
+        return p._replace(features_dc=conv(p.features_dc),
+                          features_rest=conv(p.features_rest))
+
+    payload["params"] = to_rank3(gm.GaussianParams(*payload["params"]))
+    payload["opt_state"] = jax.tree_util.tree_map(
+        lambda x: to_rank3(x) if isinstance(x, gm.GaussianParams) else x,
+        payload["opt_state"],
+        is_leaf=lambda x: isinstance(x, gm.GaussianParams))
+    with open(path, "wb") as f:
+        pickle.dump(payload, f)
+
+    g2 = gm.GaussianModel(sh_degree=1)
+    g2.params, g2.state = _tiny_model(n=30, capacity=32)
+    t2 = train_loop.Trainer(gaussians=g2, cameras_extent=1.0)
+    t2.settings = trainer.settings
+    assert t2.restore_checkpoint(path) == 3
+    m = t2.step(cam, gt, 4)          # must not raise a shape error
+    assert np.isfinite(float(m["loss"]))
+    # and the restored trajectory matches the uninterrupted one
+    m_a = trainer.step(cam, gt, 4)
+    assert float(m["loss"]) == pytest.approx(float(m_a["loss"]), abs=1e-7)

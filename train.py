@@ -246,6 +246,12 @@ def main():
             # latency. Blocks flush at size, at the end, and at any
             # test/save/checkpoint iteration so host-visible state is
             # current whenever it is read.
+        # The reference evaluates (training_report, train.py:107) BEFORE the
+        # densify/opacity-reset block (:112-123): run the gradient phase,
+        # report, then apply the schedule, so milestone evals landing on a
+        # reset iteration measure pre-reset state.
+        block_bounds = None
+        if spc > 1:
             pending.append((cp, gt))
             if (len(pending) == spc or iteration == opt.iterations
                     or iteration in flush_set):
@@ -253,13 +259,14 @@ def main():
                     stack_cameras)
                 cams_b = stack_cameras([c for c, _ in pending])
                 gts_b = jnp.stack([g for _, g in pending])
-                metrics = trainer.step_block(
-                    cams_b, gts_b, iteration - len(pending) + 1)
+                block_bounds = (iteration - len(pending) + 1, iteration)
+                metrics = trainer.grad_step_block(
+                    cams_b, gts_b, block_bounds[0])
                 pending = []
             else:
                 metrics = None
         else:
-            metrics = trainer.step(cp, gt, iteration)
+            metrics = trainer.grad_step(cp, gt, iteration)
 
         if metrics is not None and iteration % 50 < spc:
             ema_loss = 0.4 * float(metrics["loss"]) + 0.6 * ema_loss
@@ -267,9 +274,14 @@ def main():
         training_report(tb_writer, iteration, metrics or {}, trainer, scene,
                         settings, set(args.test_iterations))
         if iteration in args.save_iterations:
+            # reference saves pre-densification too (train.py:108-110)
             print(f"\n[ITER {iteration}] Saving Gaussians")
             trainer.sync_model()
             scene.save(iteration)
+        if block_bounds is not None:
+            metrics = trainer.apply_schedule_block(*block_bounds, metrics)
+        elif metrics is not None:
+            metrics = trainer.apply_schedule(iteration, metrics)
         if iteration in (args.checkpoint_iterations or []):
             print(f"\n[ITER {iteration}] Saving Checkpoint")
             trainer.save_checkpoint(
