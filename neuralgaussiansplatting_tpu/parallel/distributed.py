@@ -31,11 +31,17 @@ def initialize(coordinator_address: str | None = None,
     or single-process."""
     if jax.process_count() > 1:
         return  # already initialized
-    try:
+    if coordinator_address is not None or num_processes is not None:
+        # explicit multi-process request: fail loudly (a swallowed error
+        # here silently degrades to single-process training). Must be
+        # called before anything initializes the jax backend.
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id)
+        return
+    try:
+        jax.distributed.initialize()
     except (ValueError, RuntimeError):
         # single-process (no coordinator env): local devices only
         pass

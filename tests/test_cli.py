@@ -142,3 +142,43 @@ def test_train_colmap_scene_cli(tmp_path):
         model, "point_cloud", "iteration_12", "point_cloud.ply"))
     # input.ply persisted from the COLMAP points
     assert os.path.exists(os.path.join(model, "input.ply"))
+
+
+@pytest.mark.slow
+def test_train_dp_cli(tmp_path):
+    """--data_parallel N end-to-end on the virtual CPU mesh: the DP trainer
+    is reachable from the CLI, evals/saves/checkpoints fire at crossings."""
+    src = str(tmp_path / "scene")
+    model = str(tmp_path / "model_dp")
+    _make_blender_scene(src, n_frames=6, size=32)
+    rng = np.random.default_rng(0)
+    ply_io.store_point_cloud(os.path.join(src, "points3d.ply"),
+                             rng.normal(size=(200, 3)) * 0.8,
+                             rng.random((200, 3)))
+
+    env = dict(os.environ)
+    env["NGS_PLATFORM"] = "cpu"
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        + " --xla_force_host_platform_device_count=8").strip()
+    r = subprocess.run(
+        [sys.executable, "train.py", "-s", src, "-m", model, "--eval",
+         "--iterations", "24", "--data_parallel", "4",
+         "--test_iterations", "24", "--save_iterations", "24",
+         "--checkpoint_iterations", "24",
+         "--model_capacity", "512", "--capacity", "8192",
+         "--backend", "xla", "--disable_viewer"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=420)
+    assert r.returncode == 0, f"STDOUT:{r.stdout[-2000:]}\nSTDERR:{r.stderr[-3000:]}"
+    assert "Evaluating test:" in r.stdout
+    assert os.path.exists(os.path.join(
+        model, "point_cloud", "iteration_24", "point_cloud.ply"))
+    assert os.path.exists(os.path.join(model, "chkpnt24.ckpt"))
+
+    # mutual exclusion with --steps_per_call
+    r2 = subprocess.run(
+        [sys.executable, "train.py", "-s", src, "-m", model,
+         "--iterations", "8", "--data_parallel", "4", "--steps_per_call", "4",
+         "--backend", "xla", "--disable_viewer", "--quiet"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=420)
+    assert r2.returncode != 0
+    assert "mutually exclusive" in (r2.stdout + r2.stderr)

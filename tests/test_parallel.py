@@ -1,5 +1,7 @@
 """Sharding tests on the virtual 8-device CPU mesh."""
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -210,3 +212,46 @@ def test_dp_trainer_checkpoint_roundtrip(tmp_path):
     m2 = tr2.step(cam_list, gt)
     np.testing.assert_allclose(float(m2["loss"]), float(m1["loss"]),
                                rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_two_process_jax_distributed_dp(tmp_path):
+    """Spawn 2 real jax.distributed CPU processes (2 virtual devices each)
+    running 10 DP steps over the global 4-device mesh: host decisions stay
+    synchronized (assert_synchronized), process 0 writes the checkpoint, and
+    both end at an identical parameter state."""
+    import re
+    import socket
+    import subprocess
+    import sys as _sys
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    worker = os.path.join(os.path.dirname(__file__),
+                          "dp_two_process_worker.py")
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    procs = [subprocess.Popen(
+        [_sys.executable, worker, str(pid), str(port), str(tmp_path)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+        for pid in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, f"STDOUT:{out[-2000:]}\nSTDERR:{err[-3000:]}"
+        outs.append(out)
+
+    results = {}
+    for out in outs:
+        m = re.search(r"WORKER_RESULT pid=(\d) checksum=(\S+) loss=(\S+)",
+                      out)
+        assert m, out[-2000:]
+        results[int(m.group(1))] = (m.group(2), m.group(3))
+    assert results[0] == results[1], results
+    assert os.path.exists(os.path.join(str(tmp_path), "dp2.ckpt"))

@@ -89,7 +89,13 @@ def main():
         right = np.cross(up, fwd)
         right /= np.linalg.norm(right)
         true_up = np.cross(fwd, right)
-        R = np.stack([right, true_up, fwd], axis=1)
+        # Render camera in the framework's (COLMAP/reference) convention:
+        # x right, y DOWN, z forward. Using +true_up here renders the image
+        # upside-down relative to what the c2w below reconstructs through
+        # the loader (dataset_readers flips the OpenGL y/z columns) — the
+        # round-3 datasets carried exactly that vertical flip, which made
+        # them jointly unrepresentable and capped training at ~20 dB.
+        R = np.stack([right, -true_up, fwd], axis=1)
         pos = -fwd * dist
         view = proj.get_world_to_view(R, -R.T @ pos)
         cp = CameraParams(
@@ -116,9 +122,21 @@ def main():
             elev = 0.35 + 0.3 * math.sin(i * 1.7)
             cp, c2w = cam_at(ang, elev)
             out = render_view(cp)
-            img = np.asarray(jnp.clip(out.color, 0, 1))
-            arr = (img.transpose(1, 2, 0) * 255).astype(np.uint8)
-            alpha = ((1.0 - np.asarray(out.final_t)) * 255).astype(np.uint8)
+            img = np.asarray(jnp.clip(out.color, 0, 1)).transpose(1, 2, 0)
+            alpha_f = 1.0 - np.asarray(out.final_t)
+            # NeRF-synthetic RGBA PNGs store STRAIGHT (unpremultiplied)
+            # color: the loader composites rgb*alpha + bg*(1-alpha)
+            # (reference dataset_readers.py:224-227). The rasterizer's
+            # output IS alpha-weighted (premultiplied over black), so
+            # un-premultiply before writing — storing the render directly
+            # makes the dataset unrepresentable (every semi-transparent
+            # pixel gets darkened twice on load; the round-3 quality proof
+            # capped at ~20 dB because of exactly this).
+            straight = np.where(alpha_f[..., None] > 1e-6,
+                                img / np.maximum(alpha_f[..., None], 1e-6),
+                                0.0)
+            arr = (np.clip(straight, 0, 1) * 255).astype(np.uint8)
+            alpha = (np.clip(alpha_f, 0, 1) * 255).astype(np.uint8)
             rgba = np.concatenate([arr, alpha[..., None]], axis=-1)
             Image.fromarray(rgba, "RGBA").save(
                 os.path.join(args.out, split, f"r_{i}.png"))

@@ -37,6 +37,7 @@ def main():
     ap.add_argument("--gt_gaussians", type=int, default=40000)
     ap.add_argument("--init_points", type=int, default=10000)
     ap.add_argument("--skip_gen", action="store_true")
+    ap.add_argument("--backend", default="seq")
     args = ap.parse_args()
 
     if not args.skip_gen and not os.path.exists(
@@ -58,6 +59,7 @@ def main():
         "--test_iterations", *[str(m) for m in milestones],
         "--save_iterations", str(args.iters),
         "--steps_per_call", "10",
+        "--backend", args.backend,
     ]
     proc = subprocess.run(cmd, capture_output=True, text=True)
     wall = time.time() - t0

@@ -70,6 +70,74 @@ def training_report(tb_writer, iteration, metrics, trainer, scene, settings,
                                      np.mean(psnrs), iteration)
 
 
+def training_data_parallel(args, scene, gaussians, opt, settings, dataset,
+                           tb_writer):
+    """--data_parallel N: DPTrainer over an N-device (data, tile=1) mesh.
+
+    Each optimizer step consumes N cameras; the camera counter advances by N
+    so the densify/reset/warmup cadence matches N sequential reference
+    iterations (parallel/train_step.DPTrainer). Milestone evals/saves fire
+    when the counter crosses them. Works multi-process: every process runs
+    the same loop (identical camera RNG), host decisions stay synchronized,
+    and process 0 does the I/O."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    from tqdm import tqdm
+    from neuralgaussiansplatting_tpu.parallel.train_step import DPTrainer
+
+    n = args.data_parallel
+    devices = np.asarray(jax.devices())
+    if len(devices) < n:
+        raise SystemExit(f"--data_parallel {n} but only {len(devices)} "
+                         "devices visible (set "
+                         "XLA_FLAGS=--xla_force_host_platform_device_count "
+                         "for CPU testing)")
+    mesh = Mesh(devices[:n].reshape(n, 1), ("data", "tile"))
+    trainer = DPTrainer(
+        gaussians=gaussians, mesh=mesh, opt=opt, settings=settings,
+        batch_size=n, white_background=dataset.white_background,
+        cameras_extent=scene.cameras_extent)
+    if args.start_checkpoint:
+        it0 = trainer.restore_checkpoint(args.start_checkpoint)
+        print(f"Resumed from {args.start_checkpoint} at iteration {it0}")
+
+    is_main = jax.process_index() == 0
+    rng = np.random.default_rng(0)
+    stack, cam_cache, gt_cache = [], {}, {}
+    events = (set(args.test_iterations) | set(args.save_iterations)
+              | set(args.checkpoint_iterations or []))
+    progress = tqdm(total=opt.iterations, desc="Training progress (DP)",
+                    initial=trainer._camera_iter, disable=not is_main)
+    while trainer._camera_iter < opt.iterations:
+        while len(stack) < n:
+            stack.extend(rng.permutation(len(scene.get_train_cameras())))
+        picks = [scene.get_train_cameras()[int(stack.pop())]
+                 for _ in range(n)]
+        cams = [cam_cache.setdefault(c.uid, c.params()) for c in picks]
+        gts = jnp.stack([gt_cache.setdefault(c.uid, jnp.asarray(c.image))
+                         for c in picks])
+        metrics = trainer.step(cams, gts)
+        it = trainer._camera_iter
+        progress.update(n)
+        if it % 50 < n:
+            progress.set_postfix({"Loss": f"{float(metrics['loss']):.7f}"})
+        crossed = {e for e in events if it - n < e <= it}
+        if crossed & set(args.test_iterations):
+            training_report(tb_writer, it, metrics, trainer, scene,
+                            trainer.settings, {it})
+        if is_main and crossed & set(args.save_iterations):
+            print(f"\n[ITER {it}] Saving Gaussians")
+            trainer.sync_model()
+            scene.save(it)
+        if is_main and crossed & set(args.checkpoint_iterations or []):
+            print(f"\n[ITER {it}] Saving Checkpoint")
+            trainer.save_checkpoint(
+                os.path.join(scene.model_path, f"chkpnt{it}.ckpt"), it)
+    progress.close()
+
+
 def main():
     from neuralgaussiansplatting_tpu import config
     from neuralgaussiansplatting_tpu.models.gaussians import GaussianModel
@@ -105,6 +173,14 @@ def main():
     parser.add_argument("--gt_cache_mb", type=int, default=4096,
                         help="device-side GT image cache budget (MB); "
                              "avoids re-uploading GT every iteration")
+    parser.add_argument("--data_parallel", type=int, default=1,
+                        help="data-parallel over N devices: each optimizer "
+                             "step consumes N cameras (batch sharded over "
+                             "the mesh 'data' axis, gradients psum over "
+                             "ICI). Mutually exclusive with "
+                             "--steps_per_call > 1. For multi-host, start "
+                             "one process per host with "
+                             "jax.distributed env configured.")
     parser.add_argument("--profile_dir", type=str, default=None,
                         help="write a jax profiler trace for iterations "
                              "100..110 to this directory")
@@ -167,6 +243,16 @@ def main():
             "opacity_reset_interval", "densify_from_iter",
             "densify_until_iter", "densify_grad_threshold",
             "random_background")})
+    if args.data_parallel > 1:
+        if args.steps_per_call > 1:
+            raise SystemExit("--data_parallel and --steps_per_call are "
+                             "mutually exclusive (a DP step already consumes "
+                             "N cameras per dispatch)")
+        training_data_parallel(args, scene, gaussians, opt, settings,
+                               dataset, tb_writer)
+        print("\nTraining complete.")
+        return
+
     trainer = loop.Trainer(
         gaussians=gaussians, opt=opt, settings=settings,
         white_background=dataset.white_background,
@@ -240,18 +326,17 @@ def main():
                 gt_cache_bytes[0] += gt.size * 4
             else:
                 gt = jnp.asarray(cam.image)
-        if spc > 1:
-            # multi-step dispatch: N sequential iterations per jitted call
-            # (train_steps lax.scan) — same math, 1/N the per-call dispatch
-            # latency. Blocks flush at size, at the end, and at any
-            # test/save/checkpoint iteration so host-visible state is
-            # current whenever it is read.
         # The reference evaluates (training_report, train.py:107) BEFORE the
         # densify/opacity-reset block (:112-123): run the gradient phase,
         # report, then apply the schedule, so milestone evals landing on a
         # reset iteration measure pre-reset state.
         block_bounds = None
         if spc > 1:
+            # multi-step dispatch: N sequential iterations per jitted call
+            # (train_steps lax.scan) — same math, 1/N the per-call dispatch
+            # latency. Blocks flush at size, at the end, and at any
+            # test/save/checkpoint iteration so host-visible state is
+            # current whenever it is read.
             pending.append((cp, gt))
             if (len(pending) == spc or iteration == opt.iterations
                     or iteration in flush_set):
