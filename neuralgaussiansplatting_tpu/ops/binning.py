@@ -149,7 +149,9 @@ def bin_gaussians(pre: Preprocessed, tiles_x: int, tiles_y: int,
                   precise_cull: bool = False,
                   block_x: int = 16, block_y: int = 16,
                   width: int | None = None,
-                  height: int | None = None) -> Instances:
+                  height: int | None = None,
+                  expand: str = "scatter",
+                  dense_cap: int = 16) -> Instances:
     """Expand Gaussians into depth-sorted, chunk-aligned per-tile instances.
 
     ``pack_keys``: pack [tile | quantized-depth] into a single int32 sort key
@@ -165,6 +167,17 @@ def bin_gaussians(pre: Preprocessed, tiles_x: int, tiles_y: int,
     its true size — so a tighter (aligned-demand-sized) packed buffer is
     pure savings. Defaults to ``capacity`` (the historical single-buffer
     layout).
+
+    ``expand``: "scatter" (run-length diff-scatter expansion over a
+    ``capacity``-slot domain; cost O(N gaussians) from the serial TPU
+    scatter) or "dense" (every Gaussian owns ``dense_cap`` static slots —
+    no scatter at all; instances past the cap are dropped and counted.
+    The right choice is workload-shaped: "dense" wins when runs are short
+    relative to N — the garden regime's 5M gaussians average <2 tiles each
+    and the scatter alone costs ~220 ms there — while "scatter" wins at
+    800p-class scenes whose 100k gaussians average ~11 tiles). In dense
+    mode the expansion/sort domain is N * dense_cap and ``capacity`` is
+    ignored.
 
     ``precise_cull``: per-INSTANCE exact-coverage culling. The rect-based
     duplication (reference ``duplicateWithKeys``) emits every tile of the
@@ -196,31 +209,12 @@ def bin_gaussians(pre: Preprocessed, tiles_x: int, tiles_y: int,
     num_rendered = offsets[-1]
     starts = offsets - tiles_touched             # exclusive prefix sum
 
-    # --- run-length expansion of per-Gaussian fields to instance slots ----
-    # The three tile-rect fields pack into one int32 column (10 bits each —
-    # tile grids beyond 1023x1023 would need 16K-pixel frames): expansion
-    # traffic is proportional to the column count, and the telescoping
-    # reconstruction is exact for any packed linear combination.
+    # --- expansion of per-Gaussian fields to instance slots -----------------
     assert tiles_x < 1024 and tiles_y < 1024  # rect fields clip to [0, tiles]
     rect_w = jnp.maximum(pre.rect_max[:, 0] - pre.rect_min[:, 0], 1)
-    packed_rect = (pre.rect_min[:, 0] * (1 << 20)
-                   + pre.rect_min[:, 1] * (1 << 10) + rect_w)
     depth_bits = jax.lax.bitcast_convert_type(
         pre.depths.astype(jnp.float32), jnp.int32)  # positive => monotone
-    columns = [
-        jnp.arange(n, dtype=jnp.int32),   # 0: gid
-        starts,                            # 1: run start
-        packed_rect,                       # 2: [min_x | min_y | width]
-        depth_bits,                        # 3: depth key
-    ]
 
-    # Absolute quantization grid (0.25 px), NOT frame-relative: pixel-strip
-    # renders (parallel/render_sp.py) shift coordinates by whole tile rows,
-    # and an absolute grid makes the quantized cull decisions shift-exact so
-    # strip renders stay bit-identical to the monolithic frame. Values
-    # outside +-8192 px clamp conservatively (keep).
-    span = 8192.0
-    qscale = 0.25
     if precise_cull:
         # Diagonal support intervals of the alpha >= 1/255 level-set ellipse
         # (see docstring). conic = [[A, B], [B, C]]; Sigma = conic^-1, so
@@ -237,34 +231,7 @@ def bin_gaussians(pre: Preprocessed, tiles_x: int, tiles_y: int,
         s1 = pre.means2d[:, 0] + pre.means2d[:, 1]
         s2 = pre.means2d[:, 0] - pre.means2d[:, 1]
 
-        def qpack(lo, hi):
-            # conservative outward rounding; clamping to the range ends only
-            # widens the interval (keeps), never culls a contributor
-            lo_q = jnp.clip(jnp.floor((lo + span) / qscale), 0, 65535)
-            hi_q = jnp.clip(jnp.ceil((hi + span) / qscale), 0, 65535)
-            return (lo_q.astype(jnp.int32) * 65536            # wraps; unpack
-                    + hi_q.astype(jnp.int32))                 # is logical
-        columns.append(qpack(s1 - r1, s1 + r1))   # 4: diag (1, 1) interval
-        columns.append(qpack(s2 - r2, s2 + r2))   # 5: diag (1, -1) interval
-
-    fields = jnp.stack(columns, axis=1).astype(jnp.int32)
-    ex = _expand_runs(fields, starts, capacity)
-
-    slots = jnp.arange(capacity, dtype=jnp.int32)
-    in_range = slots < num_rendered
-    local = slots - ex[:, 1]
-    rw = jnp.maximum(ex[:, 2] & 1023, 1)
-    tx = jax.lax.shift_right_logical(ex[:, 2], 20) + local % rw
-    ty = (jax.lax.shift_right_logical(ex[:, 2], 10) & 1023) + local // rw
-
-    if precise_cull:
-        def qunpack(col):
-            lo = jax.lax.shift_right_logical(col, 16).astype(jnp.float32)
-            hi = (col & 0xFFFF).astype(jnp.float32)
-            return lo * qscale - span, hi * qscale - span
-
-        lo1, hi1 = qunpack(ex[:, 4])
-        lo2, hi2 = qunpack(ex[:, 5])
+    def cull_keep(tx, ty, lo1, hi1, lo2, hi2):
         # tile pixel-center rect, clipped to the image (phantom pixels of
         # edge tiles are cropped by assemble and carry zero cotangents)
         x0 = (tx * block_x).astype(jnp.float32)
@@ -273,31 +240,135 @@ def bin_gaussians(pre: Preprocessed, tiles_x: int, tiles_y: int,
                          width - 1).astype(jnp.float32)
         y1 = jnp.minimum(ty * block_y + (block_y - 1),
                          height - 1).astype(jnp.float32)
-        keep = (in_range
-                & (lo1 <= x1 + y1) & (hi1 >= x0 + y0)
+        return ((lo1 <= x1 + y1) & (hi1 >= x0 + y0)
                 & (lo2 <= x1 - y0) & (hi2 >= x0 - y1))
-        # Relabel expansion slots to their kept rank: the gradient reduction
-        # needs contiguous per-Gaussian runs over the *packed* instance set;
-        # the per-Gaussian boundaries follow by reading the kept-prefix at
-        # the raw run boundaries (runs stay contiguous and ordered under
-        # culling).
-        keep_i = keep.astype(jnp.int32)
-        kept_incl = _blocked_cumsum(keep_i)
-        eid_new = kept_incl - keep_i
-        kept_total = kept_incl[capacity - 1]
-        pfx = jnp.concatenate([jnp.zeros((1,), jnp.int32), kept_incl])
-        gstart_eff = pfx[jnp.minimum(starts, capacity)]
-        gcount_eff = pfx[jnp.minimum(offsets, capacity)] - gstart_eff
+
+    if expand == "dense":
+        # Dense capped expansion: every Gaussian owns ``dense_cap`` static
+        # instance slots — pure broadcasts, no scatter. The run-length
+        # scatter's cost is O(N gaussians) (~44 ns/row serial on TPU: 220 ms
+        # at 5M gaussians); at garden scale runs average <2 tiles, so a
+        # small cap covers essentially all demand, invalid slots sort to the
+        # end, and instances beyond the cap are DROPPED (counted in
+        # ``dropped``; the drop-tolerant backward reduction stays exact).
+        m = dense_cap
+        domain = n * m
+        j = jax.lax.broadcasted_iota(jnp.int32, (n, m), 1)
+        tt = tiles_touched[:, None]
+        in_range2 = j < jnp.minimum(tt, m)
+        rw2 = rect_w[:, None]
+        tx2 = pre.rect_min[:, 0][:, None] + j % rw2
+        ty2 = pre.rect_min[:, 1][:, None] + j // rw2
+        clipped = jnp.sum(jnp.maximum(tiles_touched - m, 0))
+        if precise_cull:
+            keep2 = in_range2 & cull_keep(
+                tx2, ty2, (s1 - r1)[:, None], (s1 + r1)[:, None],
+                (s2 - r2)[:, None], (s2 + r2)[:, None])
+            keep_i2 = keep2.astype(jnp.int32)
+            gcount_eff = jnp.sum(keep_i2, axis=1)
+            cg = jnp.cumsum(gcount_eff)
+            kept_total = cg[-1]
+            gstart_eff = cg - gcount_eff
+            # kept rank = per-Gaussian base + within-row kept prefix
+            eid_new2 = (gstart_eff[:, None]
+                        + jnp.cumsum(keep_i2, axis=1) - keep_i2)
+            keep = keep2.reshape(domain)
+            eid_new = eid_new2.reshape(domain)
+        else:
+            keep = in_range2.reshape(domain)
+            kept_count = jnp.minimum(tiles_touched, m)
+            ck = jnp.cumsum(kept_count)
+            kept_total = ck[-1]
+            gstart_eff = ck - kept_count
+            gcount_eff = kept_count
+            eid_new = (gstart_eff[:, None] + j).reshape(domain)
+        tx = tx2.reshape(domain)
+        ty = ty2.reshape(domain)
+        depth_col = jnp.broadcast_to(depth_bits[:, None], (n, m)).reshape(
+            domain)
+        gid_col = jnp.broadcast_to(
+            jnp.arange(n, dtype=jnp.int32)[:, None], (n, m)).reshape(domain)
+        trunc = clipped
     else:
-        keep = in_range
-        eid_new = slots
-        kept_total = jnp.minimum(num_rendered, capacity)
-        gstart_eff = jnp.minimum(starts, capacity)
-        gcount_eff = jnp.minimum(offsets, capacity) - gstart_eff
+        # Run-length expansion via scatter-of-differences + wrapping cumsum
+        # (see module docstring). The three tile-rect fields pack into one
+        # int32 column (10 bits each); expansion traffic is proportional to
+        # the column count, and the telescoping reconstruction is exact for
+        # any packed linear combination.
+        domain = capacity
+        packed_rect = (pre.rect_min[:, 0] * (1 << 20)
+                       + pre.rect_min[:, 1] * (1 << 10) + rect_w)
+        columns = [
+            jnp.arange(n, dtype=jnp.int32),   # 0: gid
+            starts,                            # 1: run start
+            packed_rect,                       # 2: [min_x | min_y | width]
+            depth_bits,                        # 3: depth key
+        ]
+
+        # Absolute quantization grid (0.25 px), NOT frame-relative:
+        # pixel-strip renders (parallel/render_sp.py) shift coordinates by
+        # whole tile rows, and an absolute grid makes the quantized cull
+        # decisions shift-exact so strip renders stay bit-identical to the
+        # monolithic frame. Values outside +-8192 px clamp conservatively
+        # (keep).
+        span = 8192.0
+        qscale = 0.25
+        if precise_cull:
+            def qpack(lo, hi):
+                # conservative outward rounding; clamping to the range ends
+                # only widens the interval (keeps), never culls a contributor
+                lo_q = jnp.clip(jnp.floor((lo + span) / qscale), 0, 65535)
+                hi_q = jnp.clip(jnp.ceil((hi + span) / qscale), 0, 65535)
+                return (lo_q.astype(jnp.int32) * 65536    # wraps; unpack
+                        + hi_q.astype(jnp.int32))         # is logical
+            columns.append(qpack(s1 - r1, s1 + r1))  # 4: diag (1, 1)
+            columns.append(qpack(s2 - r2, s2 + r2))  # 5: diag (1, -1)
+
+        fields = jnp.stack(columns, axis=1).astype(jnp.int32)
+        ex = _expand_runs(fields, starts, capacity)
+
+        slots = jnp.arange(capacity, dtype=jnp.int32)
+        in_range = slots < num_rendered
+        local = slots - ex[:, 1]
+        rw = jnp.maximum(ex[:, 2] & 1023, 1)
+        tx = jax.lax.shift_right_logical(ex[:, 2], 20) + local % rw
+        ty = (jax.lax.shift_right_logical(ex[:, 2], 10) & 1023) + local // rw
+
+        if precise_cull:
+            def qunpack(col):
+                lo = jax.lax.shift_right_logical(col, 16).astype(jnp.float32)
+                hi = (col & 0xFFFF).astype(jnp.float32)
+                return lo * qscale - span, hi * qscale - span
+
+            lo1, hi1 = qunpack(ex[:, 4])
+            lo2, hi2 = qunpack(ex[:, 5])
+            keep = in_range & cull_keep(tx, ty, lo1, hi1, lo2, hi2)
+            # Relabel expansion slots to their kept rank: the gradient
+            # reduction needs contiguous per-Gaussian runs over the *packed*
+            # instance set; the per-Gaussian boundaries follow by reading
+            # the kept-prefix at the raw run boundaries (runs stay
+            # contiguous and ordered under culling).
+            keep_i = keep.astype(jnp.int32)
+            kept_incl = _blocked_cumsum(keep_i)
+            eid_new = kept_incl - keep_i
+            kept_total = kept_incl[capacity - 1]
+            pfx = jnp.concatenate([jnp.zeros((1,), jnp.int32), kept_incl])
+            gstart_eff = pfx[jnp.minimum(starts, capacity)]
+            gcount_eff = pfx[jnp.minimum(offsets, capacity)] - gstart_eff
+        else:
+            keep = in_range
+            eid_new = slots
+            kept_total = jnp.minimum(num_rendered, capacity)
+            gstart_eff = jnp.minimum(starts, capacity)
+            gcount_eff = jnp.minimum(offsets, capacity) - gstart_eff
+        gid_col = ex[:, 0]
+        depth_col = ex[:, 3]
+        # instances lost to expansion truncation (num_rendered > capacity)
+        trunc = jnp.maximum(num_rendered - capacity, 0)
 
     tile = jnp.where(keep, ty * tiles_x + tx, num_tiles).astype(jnp.int32)
-    gid_slot = jnp.where(keep, ex[:, 0], n)
-    eid_slot = jnp.where(keep, eid_new, capacity)
+    gid_slot = jnp.where(keep, gid_col, n)
+    eid_slot = jnp.where(keep, eid_new, domain)
 
     # --- (tile, depth) lexicographic sort == CUDA [tile|depth] radix sort --
     # ``eid_slot`` rides along as an extra operand: the sorted kept-rank
@@ -306,7 +377,7 @@ def bin_gaussians(pre: Preprocessed, tiles_x: int, tiles_y: int,
     if pack_keys:
         tile_bits = max(int(num_tiles + 1).bit_length(), 1)
         depth_bits_kept = 31 - tile_bits
-        dq = jax.lax.shift_right_logical(ex[:, 3], 31 - depth_bits_kept)
+        dq = jax.lax.shift_right_logical(depth_col, 31 - depth_bits_kept)
         key = tile * (1 << depth_bits_kept) + dq
         key = jnp.where(keep, key, jnp.iinfo(jnp.int32).max)
         sorted_key, sorted_gid, sorted_e = jax.lax.sort(
@@ -315,7 +386,7 @@ def bin_gaussians(pre: Preprocessed, tiles_x: int, tiles_y: int,
             sorted_key == jnp.iinfo(jnp.int32).max, num_tiles,
             jax.lax.shift_right_logical(sorted_key, depth_bits_kept))
     else:
-        dkey = jnp.where(keep, ex[:, 3], jnp.iinfo(jnp.int32).max)
+        dkey = jnp.where(keep, depth_col, jnp.iinfo(jnp.int32).max)
         sorted_tile, _, sorted_gid, sorted_e = jax.lax.sort(
             (tile, dkey, gid_slot, eid_slot), num_keys=2)
 
@@ -359,14 +430,15 @@ def bin_gaussians(pre: Preprocessed, tiles_x: int, tiles_y: int,
         gathered = _gather_aligned_runs(sorted_gid, src[::block], block)
         gathered_e = _gather_aligned_runs(sorted_e, src[::block], block)
     else:
-        gathered = sorted_gid[jnp.clip(src, 0, capacity - 1)]
-        gathered_e = sorted_e[jnp.clip(src, 0, capacity - 1)]
+        gathered = sorted_gid[jnp.clip(src, 0, domain - 1)]
+        gathered_e = sorted_e[jnp.clip(src, 0, domain - 1)]
     gid_aligned = jnp.where(valid, gathered, n).astype(jnp.int32)
-    eid_aligned = jnp.where(valid, gathered_e, capacity).astype(jnp.int32)
+    eid_aligned = jnp.where(valid, gathered_e, domain).astype(jnp.int32)
 
-    # instances lost to expansion truncation (num_rendered > capacity) plus
-    # cap/tile drops; precise-culled instances are exact zeros, not drops
-    trunc = jnp.maximum(num_rendered - capacity, 0)
+    # ``trunc`` = instances the expansion never materialized (scatter:
+    # num_rendered > capacity; dense: per-Gaussian clipping at dense_cap);
+    # plus cap/tile drops. Precise-culled instances are exact zeros, not
+    # drops.
     return Instances(
         gid=gid_aligned,
         valid=valid,
@@ -379,5 +451,5 @@ def bin_gaussians(pre: Preprocessed, tiles_x: int, tiles_y: int,
         gstart=gstart_eff,
         gcount=gcount_eff,
         dropped=kept_total + trunc - jnp.sum(count_eff),
-        culled=jnp.minimum(num_rendered, capacity) - kept_total,
+        culled=num_rendered - trunc - kept_total,
     )

@@ -65,6 +65,14 @@ class RasterizeSettings:
                                    # ops/binning.py). Shrinks pack/kernel/
                                    # grad-reduce work ~proportionally to the
                                    # corner-tile waste of rect binning.
+    expand: str = "scatter"        # instance expansion: "scatter"
+                                   # (run-length diff-scatter; O(N) serial
+                                   # scatter cost — right below ~1M
+                                   # gaussians) | "dense" (every gaussian
+                                   # owns dense_cap static slots, no
+                                   # scatter; the garden-regime choice —
+                                   # see ops/binning.py)
+    dense_cap: int = 16            # per-gaussian slot cap in dense mode
     grad_reduce: str = "auto"      # backward per-Gaussian reduction:
                                    # "sort" (expansion-order cumsum-diff),
                                    # "scatter" (XLA scatter-add), or "auto"
@@ -171,7 +179,8 @@ def rasterize(
         packed_capacity=settings.packed_capacity,
         precise_cull=settings.precise_cull,
         block_x=settings.block_x, block_y=settings.block_y,
-        width=cam.width, height=cam.height)
+        width=cam.width, height=cam.height,
+        expand=settings.expand, dense_cap=settings.dense_cap)
 
     if settings.backend == "pallas":
         from neuralgaussiansplatting_tpu.ops import blend_pallas

@@ -362,3 +362,61 @@ def test_gather_aligned_runs_clamps_out_of_range_base():
     out = np.asarray(binning._gather_aligned_runs(values, base, 8))
     assert out.shape == (24,)
     assert np.array_equal(out[:8], np.arange(8))  # in-range block is exact
+
+
+def test_dense_expansion_matches_scatter():
+    """expand='dense' (capped per-gaussian slots, no scatter) must produce
+    the same image and gradients as the scatter expansion when the cap
+    covers every run; with a tight cap it drops the excess and reports it."""
+    import dataclasses
+    from scenes import make_camera, random_gaussians
+
+    cam = make_camera(W=48, H=48)
+    means, scales, rot, opac, shs = random_gaussians(n=150, deg=1, seed=41)
+    args = (jnp.asarray(means), jnp.asarray(scales), jnp.asarray(rot),
+            jnp.asarray(opac), jnp.asarray(shs))
+    base = rast.RasterizeSettings(capacity=1 << 13, max_per_tile=512, chunk=8,
+                                  backend="xla", tight_culling=True)
+    dense = dataclasses.replace(base, expand="dense", dense_cap=64)
+    bg = jnp.asarray([0.2, 0.1, 0.3])
+
+    o_s = rast.rasterize(*args, 1, cam, bg, base)
+    o_d = rast.rasterize(*args, 1, cam, bg, dense)
+    assert int(o_d.dropped) == 0
+    assert int(o_d.num_rendered) == int(o_s.num_rendered)
+    np.testing.assert_allclose(np.asarray(o_d.color), np.asarray(o_s.color),
+                               atol=2e-6)
+    np.testing.assert_allclose(np.asarray(o_d.final_t),
+                               np.asarray(o_s.final_t), atol=2e-6)
+
+    gt = jnp.zeros((3, cam.height, cam.width))
+
+    def grads(settings):
+        def f(means, scales, rot, opac, shs):
+            out = rast.rasterize(means, scales, rot, opac, shs, 1, cam, bg,
+                                 settings)
+            return jnp.sum((out.color - gt) ** 2) + jnp.sum(out.final_t)
+        return jax.grad(f, argnums=(0, 1, 2, 3, 4))(*args)
+
+    gs = grads(dataclasses.replace(base, grad_reduce="scatter"))
+    gd = grads(dataclasses.replace(dense, grad_reduce="auto"))
+    for name, a, b in zip(["means", "scales", "rot", "opac", "shs"], gs, gd):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(a).max() + 1e-8
+        np.testing.assert_allclose(b, a, atol=2e-5 * scale, rtol=1e-3,
+                                   err_msg=name)
+
+    # precise_cull variant agrees too (dense uses raw f32 intervals)
+    pc_s = dataclasses.replace(base, precise_cull=True)
+    pc_d = dataclasses.replace(dense, precise_cull=True)
+    o_ps = rast.rasterize(*args, 1, cam, bg, pc_s)
+    o_pd = rast.rasterize(*args, 1, cam, bg, pc_d)
+    np.testing.assert_allclose(np.asarray(o_pd.color),
+                               np.asarray(o_ps.color), atol=2e-6)
+    assert int(o_pd.culled) > 0
+
+    # tight cap: drops counted, render still finite and close
+    tight = dataclasses.replace(dense, dense_cap=1)
+    o_t = rast.rasterize(*args, 1, cam, bg, tight)
+    assert int(o_t.dropped) > 0
+    assert np.isfinite(np.asarray(o_t.color)).all()
