@@ -10,7 +10,8 @@ demand lands in the multi-million range, then reports:
   - demand monitors (num_rendered / aligned / culled / dropped),
 at garden-scale capacities. Chained-timing methodology (tools/chain_bench).
 
-Usage: python tools/bench_garden.py [n_gaussians] [--fwd-only]
+Usage: python tools/bench_garden.py [n_gaussians] [dense_cap] [--fwd-only]
+           [--scatter]  (legacy run-length-scatter expansion + 16x16 pallas)
 """
 
 import os
@@ -35,7 +36,9 @@ from __graft_entry__ import _demo_scene
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("-")]
     n = int(args[0]) if args else 5_000_000
+    dense_cap = int(args[1]) if len(args) > 1 else 8
     fwd_only = "--fwd-only" in sys.argv
+    scatter = "--scatter" in sys.argv
     w, h = 1920, 1080
 
     # scale-adapted splat field: many small gaussians (trained garden-like
@@ -46,9 +49,17 @@ def main():
         scaling=params.scaling - 2.2)   # log-space: ~9x smaller splats
     alive = state.alive
 
-    probe = rast.RasterizeSettings(
-        capacity=1 << 24, max_per_tile=4096, chunk=128, backend="pallas",
-        fast_sort=True, tight_culling=True, precise_cull=True)
+    if scatter:
+        probe = rast.RasterizeSettings(
+            capacity=1 << 24, max_per_tile=4096, chunk=128, backend="pallas",
+            fast_sort=True, tight_culling=True, precise_cull=True)
+    else:
+        # seq (32x32) + dense capped expansion: no O(N) scatter; the sort
+        # domain is n * dense_cap and clipping beyond the cap is counted
+        probe = rast.make_settings(
+            "seq", capacity=1 << 20, max_per_tile=8192, fast_sort=True,
+            tight_culling=True, precise_cull=True, expand="dense",
+            dense_cap=dense_cap)
     out = jax.jit(lambda p: render(cam, p, alive, 3, jnp.zeros(3), probe)
                   )(params)
     nr = int(out["num_rendered"])
@@ -56,10 +67,14 @@ def main():
     culled = int(out["culled"])
     cap = 1 << max(int(nr * 1.15).bit_length(), 1)
     kcap = ((int(ademand * 1.05) // (1 << 17)) + 1) * (1 << 17)
-    settings = rast.RasterizeSettings(
-        capacity=cap, max_per_tile=4096, chunk=128, backend="pallas",
-        fast_sort=True, tight_culling=True, precise_cull=True,
-        packed_capacity=kcap)
+    if scatter:
+        settings = rast.RasterizeSettings(
+            capacity=cap, max_per_tile=4096, chunk=128, backend="pallas",
+            fast_sort=True, tight_culling=True, precise_cull=True,
+            packed_capacity=kcap)
+    else:
+        import dataclasses
+        settings = dataclasses.replace(probe, packed_capacity=kcap)
     out = jax.jit(lambda p: render(cam, p, alive, 3, jnp.zeros(3), settings)
                   )(params)
     mon = {k: int(out[k]) for k in
