@@ -52,6 +52,16 @@ class PipelineParams:
     tight_culling: bool = True     # opacity-adaptive rects (image-exact; see
                                    # ops/preprocess.py — only diagnostic
                                    # n_contrib / demand monitors shrink)
+    expand: str = "auto"           # instance expansion: "scatter" | "dense" |
+                                   # "auto" (dense above ~1M gaussians — the
+                                   # run-length diff-scatter is O(N); see
+                                   # ops/binning.py)
+    dense_cap: int = 16            # per-gaussian slot cap in dense mode
+    precise_cull: bool = True      # exact per-instance coverage cull; a win
+                                   # at 800p-class statistics (~11% fewer
+                                   # instances for ~2 ms), a loss at garden
+                                   # scale (~1.4% for ~130 ms of relabel
+                                   # bookkeeping over the dense domain)
     _shorthands: dict = dataclasses.field(default_factory=dict)
 
 

@@ -71,7 +71,10 @@ class RasterizeSettings:
                                    # gaussians) | "dense" (every gaussian
                                    # owns dense_cap static slots, no
                                    # scatter; the garden-regime choice —
-                                   # see ops/binning.py)
+                                   # see ops/binning.py) | "auto" (dense
+                                   # when the padded gaussian count is
+                                   # >= 2^20, scatter below — resolved per
+                                   # jit shape in ``rasterize``)
     dense_cap: int = 16            # per-gaussian slot cap in dense mode
     grad_reduce: str = "auto"      # backward per-Gaussian reduction:
                                    # "sort" (expansion-order cumsum-diff),
@@ -173,6 +176,12 @@ def rasterize(
         )
         pre = pre._replace(means2d=pre.means2d + shift)
 
+    expand = settings.expand
+    if expand == "auto":
+        # the diff-scatter expansion is O(N gaussians) serial (~44 ns/row);
+        # above ~1M padded gaussians the dense capped layout wins (and its
+        # per-gaussian drops are rare there — garden-scale splats are tiny)
+        expand = "dense" if means3d.shape[0] >= (1 << 20) else "scatter"
     inst = binning.bin_gaussians(
         pre, tiles_x, tiles_y, settings.capacity, settings.max_per_tile,
         settings.chunk, pack_keys=settings.fast_sort,
@@ -180,7 +189,7 @@ def rasterize(
         precise_cull=settings.precise_cull,
         block_x=settings.block_x, block_y=settings.block_y,
         width=cam.width, height=cam.height,
-        expand=settings.expand, dense_cap=settings.dense_cap)
+        expand=expand, dense_cap=settings.dense_cap)
 
     if settings.backend == "pallas":
         from neuralgaussiansplatting_tpu.ops import blend_pallas

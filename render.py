@@ -62,7 +62,9 @@ def main():
     bg = jnp.asarray([1.0, 1.0, 1.0] if dataset.white_background
                      else [0.0, 0.0, 0.0])
     settings = rast.make_settings(
-        pipe.backend, capacity=pipe.capacity, max_per_tile=pipe.max_per_tile)
+        pipe.backend, capacity=pipe.capacity, max_per_tile=pipe.max_per_tile,
+        expand=pipe.expand, dense_cap=pipe.dense_cap,
+        precise_cull=pipe.precise_cull)
 
     if not args.skip_train:
         render_set(dataset.model_path, "train", scene.loaded_iter,

@@ -36,7 +36,7 @@ from __graft_entry__ import _demo_scene
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("-")]
     n = int(args[0]) if args else 5_000_000
-    dense_cap = int(args[1]) if len(args) > 1 else 8
+    dense_cap = int(args[1]) if len(args) > 1 else 6
     fwd_only = "--fwd-only" in sys.argv
     scatter = "--scatter" in sys.argv
     w, h = 1920, 1080
@@ -55,10 +55,15 @@ def main():
             fast_sort=True, tight_culling=True, precise_cull=True)
     else:
         # seq (32x32) + dense capped expansion: no O(N) scatter; the sort
-        # domain is n * dense_cap and clipping beyond the cap is counted
+        # domain is n * dense_cap and clipping beyond the cap is counted.
+        # precise_cull off: at garden statistics (tiny splats, ~1.2 tiles
+        # each) it culls ~1.4% of instances but its relabel bookkeeping
+        # costs ~130 ms over the 30M-slot domain — a clear loss here
+        # (measured round 4; it stays on for the 800p-class configs where
+        # it removes ~11% for ~2 ms).
         probe = rast.make_settings(
             "seq", capacity=1 << 20, max_per_tile=8192, fast_sort=True,
-            tight_culling=True, precise_cull=True, expand="dense",
+            tight_culling=True, precise_cull=False, expand="dense",
             dense_cap=dense_cap)
     out = jax.jit(lambda p: render(cam, p, alive, 3, jnp.zeros(3), probe)
                   )(params)
@@ -82,9 +87,13 @@ def main():
             "max_per_tile")}
 
     def fwd_body(carry, s):
+        # the dependency flows through xyz so EVERY stage (preprocess,
+        # binning, sort, blend) is provably inside the loop — a bg-only
+        # dependency leaves preprocess+binning loop-invariant and
+        # vulnerable to hoisting
         p, fb = carry
-        bg = jnp.zeros(3) + 1e-30 * jnp.mean(fb)
-        o = render(cam, p, alive, 3, bg, settings)
+        o = render(cam, p._replace(xyz=p.xyz + (1e-30 * jnp.mean(fb) + s)),
+                   alive, 3, jnp.zeros(3), settings)
         return (p, o["render"])
 
     fb0 = jnp.zeros((3, h, w))

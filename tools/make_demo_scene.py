@@ -48,9 +48,16 @@ def main():
     parser = ArgumentParser()
     parser.add_argument("--out", default="demo_scene")
     parser.add_argument("--size", type=int, default=256)
+    parser.add_argument("--width", type=int, default=0,
+                        help="non-square frames (garden-regime 1080p runs); "
+                             "0 => --size x --size")
+    parser.add_argument("--height", type=int, default=0)
     parser.add_argument("--views", type=int, default=24)
     parser.add_argument("--n_gaussians", type=int, default=4000)
     parser.add_argument("--init_points", type=int, default=2000)
+    parser.add_argument("--gt_scale", type=float, default=1.0,
+                        help="multiply GT splat sizes (smaller => garden-like"
+                             " many-tiny-splat statistics)")
     args = parser.parse_args()
 
     import jax.numpy as jnp
@@ -64,8 +71,11 @@ def main():
     import jax
 
     means, scales, rot, opac, colors = gt_gaussians(args.n_gaussians)
+    if args.gt_scale != 1.0:
+        scales = scales * args.gt_scale
     shs = np.asarray(RGB2SH(colors))[:, None, :]
-    settings = rast.RasterizeSettings(capacity=1 << 20, max_per_tile=1024,
+    cap = 1 << max(20, int(np.ceil(np.log2(max(args.n_gaussians * 16, 1)))))
+    settings = rast.RasterizeSettings(capacity=cap, max_per_tile=4096,
                                       chunk=128)
 
     @jax.jit
@@ -77,9 +87,12 @@ def main():
             jnp.asarray(opac), jnp.asarray(shs), 0, cp,
             jnp.zeros(3), settings)
 
-    size = args.size
+    width = args.width or args.size
+    height = args.height or args.size
     fovx = math.radians(50.0)
-    fovy = proj.focal2fov(proj.fov2focal(fovx, size), size)
+    # square pixels: fovy follows from the aspect ratio (the loader computes
+    # fovy the same way from camera_angle_x, dataset_readers.py:215-218)
+    fovy = proj.focal2fov(proj.fov2focal(fovx, width), height)
     projm = proj.get_projection_matrix(0.01, 100.0, fovx, fovy)
 
     def cam_at(ang, elev=0.5, dist=3.6):
@@ -102,7 +115,7 @@ def main():
             view=jnp.asarray(view), full_proj=jnp.asarray(projm @ view),
             campos=jnp.asarray(pos.astype(np.float32)),
             tan_fovx=math.tan(fovx / 2), tan_fovy=math.tan(fovy / 2),
-            width=size, height=size)
+            width=width, height=height)
         # OpenGL c2w for the transforms json (x right, y up, z backward)
         c2w = np.eye(4)
         c2w[:3, 0] = right
@@ -161,7 +174,7 @@ def main():
     ply_io.store_point_cloud(os.path.join(args.out, "points3d.ply"),
                              pts, colors[idx])
     print(f"demo scene written to {args.out}/ "
-          f"({args.views} train views, {size}x{size})")
+          f"({args.views} train views, {width}x{height})")
 
 
 if __name__ == "__main__":

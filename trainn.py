@@ -51,6 +51,14 @@ def main():
     parser.add_argument("--model_capacity", type=int, default=None)
     parser.add_argument("--mixed_precision", action="store_true",
                         help="bf16 compute in the screen-space decoders")
+    parser.add_argument("--start_checkpoint", type=str, default=None,
+                        help="classic-training checkpoint (chkpntN.ckpt) to "
+                             "take the frozen geometry from (reference "
+                             "trainn.py:63-65 restores a train.py checkpoint "
+                             "before neural training)")
+    parser.add_argument("--start_ply", type=str, default=None,
+                        help="alternative geometry source: a saved "
+                             "point_cloud.ply from a classic run")
     args = parser.parse_args()
     args.save_iterations.append(args.iterations)
 
@@ -69,6 +77,26 @@ def main():
                   images=dataset.images, resolution=dataset.resolution,
                   white_background=dataset.white_background,
                   eval_split=dataset.eval, capacity=args.model_capacity)
+    if args.start_checkpoint:
+        # geometry from a classic train.py checkpoint; the neural optimizer
+        # state starts fresh (only features + decoders train here)
+        import pickle
+        from neuralgaussiansplatting_tpu.models import gaussians as gm
+        with open(args.start_checkpoint, "rb") as f:
+            payload = pickle.load(f)
+        gaussians.active_sh_degree = payload["active_sh_degree"]
+        gaussians.spatial_lr_scale = payload["spatial_lr_scale"]
+        gaussians.params = gm.normalize_params(
+            gm.GaussianParams(*[jnp.asarray(x)
+                                for x in tuple(payload["params"])]))
+        gaussians.state = gm.GaussianState(
+            *[jnp.asarray(x) for x in tuple(payload["gstate"])])
+        print(f"Geometry restored from {args.start_checkpoint} "
+              f"({gaussians.num_alive} alive)")
+    elif args.start_ply:
+        gaussians.load_ply(args.start_ply, capacity=args.model_capacity)
+        print(f"Geometry loaded from {args.start_ply} "
+              f"({gaussians.num_alive} alive)")
 
     opt = optim.OptimizationParams(
         iterations=opt_args.iterations, feature_lr=opt_args.feature_lr,
@@ -118,6 +146,33 @@ def main():
                 np.asarray(gaussians.params.features)[
                     np.asarray(gaussians.state.alive)],
                 iteration, dataset.model_path)
+
+        if iteration in args.test_iterations:
+            # Milestone held-out evaluation (reference trainn.py:161,213-243).
+            # Deviation, documented: the reference's training_report renders
+            # the CLASSIC pipeline during neural training (trainn.py:161
+            # passes `render`), which measures the frozen geometry rather
+            # than the network under training; here the active neural path
+            # (--sw) is evaluated, which is the meaningful quality signal.
+            from neuralgaussiansplatting_tpu.train.neural_loop import (
+                RENDER_FNS)
+            from neuralgaussiansplatting_tpu.utils import losses
+            for name, cams in [("test", scene.get_test_cameras()),
+                               ("train", scene.get_train_cameras()[:5])]:
+                if not cams:
+                    continue
+                psnrs, l1s = [], []
+                for ecam in cams:
+                    out = RENDER_FNS[args.sw](
+                        ecam.params(), trainer.ts.params,
+                        trainer.ts.net_params, trainer.capacity,
+                        alive=trainer.ts.alive)
+                    img = jnp.clip(out["render"], 0.0, 1.0)
+                    egt = jnp.asarray(ecam.image)
+                    psnrs.append(float(losses.psnr(img, egt)))
+                    l1s.append(float(losses.l1_loss(img, egt)))
+                print(f"\n[ITER {iteration}] Evaluating {name}: "
+                      f"L1 {np.mean(l1s):.5f} PSNR {np.mean(psnrs):.2f}")
 
         if iteration in args.save_iterations:
             print(f"\n[ITER {iteration}] Saving Gaussians")
