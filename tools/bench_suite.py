@@ -87,19 +87,16 @@ def main():
         return chain_time(make_step, params, iters=iters)
 
     # --- config 1: 256x256, 10k, SH0 fwd+bwd --------------------------------
-    s1 = rast.RasterizeSettings(capacity=1 << 19, max_per_tile=2048,
-                                chunk=128, backend="pallas",
-                                fast_sort=True, tight_culling=True,
-                                precise_cull=True)
+    s1 = rast.make_settings("seq", capacity=1 << 18, max_per_tile=2048,
+                            fast_sort=True, tight_culling=True,
+                            precise_cull=True)
     dt = train_step_time(256, 256, 10_000, 0, s1)
     emit("fwd+bwd 256x256 10k SH0", 256 * 256 / dt / 1e6, "Mpix/s")
 
     # --- config 2: 800x800, 100k, SH3 fwd+bwd -------------------------------
-    s2 = rast.RasterizeSettings(capacity=1216 * 1024, max_per_tile=2048,
-                                chunk=128, backend="pallas",
-                                fast_sort=True, tight_culling=True,
-                                precise_cull=True,
-                                packed_capacity=1152 * 1024)
+    s2 = rast.make_settings("seq", capacity=512 * 1024, max_per_tile=4096,
+                            fast_sort=True, tight_culling=True,
+                            precise_cull=True, packed_capacity=512 * 1024)
     dt = train_step_time(800, 800, 100_000, 3, s2)
     emit("fwd+bwd 800x800 100k SH3", 800 * 800 / dt / 1e6, "Mpix/s",
          baseline=1920 * 1080 * 30 / 1e6)
@@ -109,12 +106,11 @@ def main():
     # without any tile drops
     params, state, cam = _demo_scene(n=100_000, w=1920, h=1080, sh_degree=3)
     alive = state.alive
-    # capacity 2^22: demand is 4.03M and the sort pads to the next power of
-    # two, so anything over 2^22 doubles the sort domain (+5 ms measured)
-    probe = rast.RasterizeSettings(capacity=1 << 22, max_per_tile=2048,
-                                   chunk=128, backend="pallas",
-                                   fast_sort=True, tight_culling=True,
-                                   precise_cull=True)
+    # 32x32 tiles cut the 1080p demand ~2.4x vs 16x16 (4.03M -> ~1.7M);
+    # capacity sized to the pow2 bucket above demand (sort pads to pow2)
+    probe = rast.make_settings("seq", capacity=1 << 21, max_per_tile=4096,
+                               fast_sort=True, tight_culling=True,
+                               precise_cull=True)
     po = jax.jit(lambda p: render(cam, p, alive, 3, jnp.zeros(3), probe)
                  )(params)
     ademand = int(po["aligned_demand"])
@@ -124,10 +120,9 @@ def main():
                       "culled": int(po["culled"]),
                       "num_rendered": int(po["num_rendered"]),
                       "packed_capacity": kcap}), flush=True)
-    s3 = rast.RasterizeSettings(capacity=1 << 22, max_per_tile=2048,
-                                chunk=128, backend="pallas",
-                                fast_sort=True, tight_culling=True,
-                                precise_cull=True, packed_capacity=kcap)
+    s3 = rast.make_settings("seq", capacity=1 << 21, max_per_tile=4096,
+                            fast_sort=True, tight_culling=True,
+                            precise_cull=True, packed_capacity=kcap)
 
     def make_fwd():
         def step(p, s):

@@ -69,8 +69,8 @@ def main():
         tan_fovx=math.tan(fovx / 2), tan_fovy=math.tan(fovy / 2),
         width=w, height=h)
 
-    probe = rast.RasterizeSettings(
-        capacity=1 << 23, max_per_tile=4096, chunk=128, backend="pallas",
+    probe = rast.make_settings(
+        "seq", capacity=1 << 22, max_per_tile=8192,
         fast_sort=True, tight_culling=True, precise_cull=True)
     out = jax.jit(lambda p: render(cam, p, state.alive, 3, jnp.zeros(3),
                                    probe))(params)
@@ -78,15 +78,16 @@ def main():
     ademand = int(out["aligned_demand"])
     cap = 1 << max(int(nr * 1.15).bit_length(), 16)
     kcap = ((int(ademand * 1.05) >> 17) + 1) << 17
-    settings = rast.RasterizeSettings(
-        capacity=cap, max_per_tile=4096, chunk=128, backend="pallas",
+    settings = rast.make_settings(
+        "seq", capacity=cap, max_per_tile=8192,
         fast_sort=True, tight_culling=True, precise_cull=True,
         packed_capacity=kcap)
 
     def fwd_body(carry, s):
+        # dependency through xyz: every stage provably inside the loop
         p, fb = carry
-        bg = jnp.zeros(3) + 1e-30 * jnp.mean(fb)
-        o = render(cam, p, state.alive, 3, bg, settings)
+        o = render(cam, p._replace(xyz=p.xyz + (1e-30 * jnp.mean(fb) + s)),
+                   state.alive, 3, jnp.zeros(3), settings)
         return (p, o["render"])
 
     fb0 = jnp.zeros((3, h, w))

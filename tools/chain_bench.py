@@ -113,9 +113,13 @@ def main():
         else:
             def make_body():
                 def body(carry, s):
+                    # dependency through xyz: preprocess/binning/sort provably
+                    # inside the loop (a bg-only dependency leaves them
+                    # loop-invariant and hoistable)
                     p, fb = carry
-                    bg = jnp.zeros(3) + 1e-30 * jnp.mean(fb)
-                    out = render(cam, p, alive, 3, bg, settings)
+                    out = render(
+                        cam, p._replace(xyz=p.xyz + (1e-30 * jnp.mean(fb) + s)),
+                        alive, 3, jnp.zeros(3), settings)
                     return (p, out["render"])
                 return body
 
@@ -136,9 +140,11 @@ def main():
 
         def make_body():
             def body(carry, s):
+                # dependency through xyz (see classic_fwd_seq note)
                 p, fb = carry
-                bg = jnp.zeros(3) + 1e-30 * jnp.mean(fb)
-                out = render(cam, p, alive, 3, bg, settings)
+                out = render(
+                    cam, p._replace(xyz=p.xyz + (1e-30 * jnp.mean(fb) + s)),
+                    alive, 3, jnp.zeros(3), settings)
                 return (p, out["render"])
             return body
 
@@ -157,9 +163,11 @@ def main():
 
         def make_body():
             def body(carry, s):
+                # dependency through xyz (see classic_fwd_seq note)
                 p, fb = carry
-                bg = jnp.zeros(3) + 1e-30 * jnp.mean(fb)
-                out = render(cam, p, alive, 3, bg, settings)
+                out = render(
+                    cam, p._replace(xyz=p.xyz + (1e-30 * jnp.mean(fb) + s)),
+                    alive, 3, jnp.zeros(3), settings)
                 return (p, out["render"])
             return body
 

@@ -33,10 +33,19 @@ def sums(*arrs):
 
 def main():
     w = h = 800
-    settings = rast.RasterizeSettings(
-        capacity=1216 * 1024, max_per_tile=2048, chunk=128,
-        backend="pallas", fast_sort=True, tight_culling=True,
-        precise_cull=True, packed_capacity=1152 * 1024)
+    seq = "--seq" in sys.argv
+    if seq:
+        # production sequential-instance path: 32x32 tiles (ops/blend_seq)
+        settings = rast.make_settings(
+            "seq", capacity=640 * 1024, max_per_tile=4096,
+            fast_sort=True, tight_culling=True, precise_cull=True,
+            packed_capacity=512 * 1024)
+    else:
+        settings = rast.RasterizeSettings(
+            capacity=1216 * 1024, max_per_tile=2048, chunk=128,
+            backend="pallas", fast_sort=True, tight_culling=True,
+            precise_cull=True, packed_capacity=1152 * 1024)
+    bx, by = settings.block_x, settings.block_y
     params, state, cam = _demo_scene(n=100_000, w=w, h=h, sh_degree=3)
     alive = state.alive
     gt = jnp.zeros((3, h, w))
@@ -49,7 +58,7 @@ def main():
     def run_pre(p, s):
         m3, sc, ro, op, shs = inputs(p, s)
         pre = pp.preprocess_gaussians(m3, sc, ro, op, shs, 3, cam,
-                                      16, 16, tight=True)
+                                      bx, by, tight=True)
         return sums(pre.means2d, pre.depths, pre.conic, pre.opacity, pre.rgb,
                     pre.radii, pre.rect_min, pre.rect_max, pre.tiles_touched)
 
@@ -57,11 +66,13 @@ def main():
         def run(p, s):
             m3, sc, ro, op, shs = inputs(p, s)
             pre = pp.preprocess_gaussians(m3, sc, ro, op, shs, 3, cam,
-                                          16, 16, tight=True)
+                                          bx, by, tight=True)
             inst = binning.bin_gaussians(
                 pre, tiles_x, tiles_y, settings.capacity,
                 settings.max_per_tile, settings.chunk, pack_keys=True,
-                packed_capacity=settings.packed_capacity)
+                packed_capacity=settings.packed_capacity,
+                precise_cull=settings.precise_cull, block_x=bx, block_y=by,
+                width=w, height=h)
             acc = sums(inst.gid, inst.tile_start, inst.tile_count,
                        inst.eid) + inst.num_rendered
             if with_pack:
@@ -131,7 +142,7 @@ def main():
         ("fwd+bwd sort precolor", make_grad_precolor("sort"),
          (jnp.zeros((100_000, 3)), jnp.zeros(()))),
     ]
-    sel = sys.argv[1:]
+    sel = [a for a in sys.argv[1:] if not a.startswith("-")]
     for i, (name, body, x) in enumerate(rows):
         if sel and str(i) not in sel:
             continue

@@ -66,7 +66,12 @@ def main():
         "--steps_per_call", str(args.steps_per_call),
         "--backend", args.backend,
         "--model_capacity", str(args.model_capacity),
-        "--expand", "dense",
+        # dense capped expansion: domain = capacity * dense_cap = 2^24 at the
+        # 2^21 default — an exactly pow2 sort domain (no padding waste);
+        # instances past 8 tiles/gaussian drop with exact accounting (rare at
+        # garden splat statistics) and the drop-tolerant backward stays exact
+        "--expand", "dense", "--dense_cap", "8",
+        "--no-precise_cull",
     ]
     proc = subprocess.run(cmd, capture_output=True, text=True)
     wall = time.time() - t0
