@@ -148,15 +148,28 @@ def render_idxmaps(
     cam: CameraParams,
     capacity: int = 1 << 21,
     alive: jnp.ndarray | None = None,
+    backend: str = "tiled",
 ) -> IdxMaps:
     """Full GETMAP-equivalent: z-buffer winner + 64-d feature map.
 
     ``features`` (N, 64); only dims 25..63 reach the output (0..24 are depth
     + view-dir PE, replicating GETMAP's overwrite of the first 25 dims).
     Gradients flow to ``features`` alone.
+
+    ``backend``: "tiled" (production — the 32×32-tile binning + Pallas
+    argmin kernel in ops/zbuffer_pallas.py; ``capacity`` counts TILE
+    instances, ~25x fewer than pixel instances) or "xla" (the direct port
+    of the reference's per-pixel sort design — the correctness oracle;
+    ``capacity`` counts PIXEL instances).
     """
     w, h = cam.width, cam.height
-    idx, depth, num_inst = compute_idxmap(means3d, cam, capacity, alive)
+    if backend == "tiled":
+        from neuralgaussiansplatting_tpu.ops.zbuffer_pallas import (
+            compute_idxmap_tiled)
+        idx, depth, num_inst = compute_idxmap_tiled(
+            means3d, cam, capacity, alive)
+    else:
+        idx, depth, num_inst = compute_idxmap(means3d, cam, capacity, alive)
     hit = idx >= 0
     safe = jnp.clip(idx, 0, means3d.shape[0] - 1)
 

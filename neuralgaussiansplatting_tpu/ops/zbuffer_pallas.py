@@ -1,0 +1,218 @@
+"""Tiled Pallas z-buffer for the neural pipeline's idxmap pass.
+
+The reference computes the per-pixel closest Gaussian with a *pixel*
+granularity pipeline: duplicate one instance per covered pixel, 63-bit
+[x|y|depth] radix sort, per-pixel ranges, take the head
+(rasterizer2/cuda_rasterizer/rasterizer_impl.cu:578-817). The XLA port of
+that design (ops/idxmap.compute_idxmap) is correct but pays ~40 ms at
+800²/100k on v5e: the pixel-instance domain is ~4M slots, and extracting
+run heads is a serial TPU scatter.
+
+This module reuses the CLASSIC rasterizer's 32×32 tile machinery instead:
+point footprints bin into per-tile depth-grouped instance lists (the same
+`ops/binning.bin_gaussians`, ~100–200k instances instead of ~4M), and a
+sequential-instance Pallas kernel computes the per-pixel argmin over each
+tile's list — the z-buffer is a pure min-reduction, so neither the sort
+order within a tile nor any transmittance state matters. Winner selection
+is EXACT: the kernel compares full f32 view depths (ties broken toward the
+lower Gaussian id, matching the reference's stable radix sort over
+ascending-id duplication order).
+
+Geometry is non-differentiable by reference semantics
+(rasterizer2/rasterizer2/__init__.py:109-137 returns zero grads for all
+geometry inputs), so the kernel needs no VJP — it emits integer winner ids,
+and feature gradients flow through the XLA featuremap gather downstream.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from neuralgaussiansplatting_tpu.ops import binning
+from neuralgaussiansplatting_tpu.ops import projection as proj
+from neuralgaussiansplatting_tpu.ops.blend_seq import BX, BY, PIX, _pixel_block
+from neuralgaussiansplatting_tpu.ops.preprocess import CameraParams, Preprocessed
+
+CHUNK = 128
+ROWS = 8          # packed attr rows: [x0, y0, x1, y1, depth, gid, 0, 0]
+UNROLL = 8
+BIG = 3.0e38      # initial depth (no +inf literals inside the kernel)
+
+
+def _zbuf_kernel(start_ref, count_ref, inst_ref, out_ref, smem, sem,
+                 *, ch, tiles_x):
+    t = pl.program_id(0)
+    start = pl.multiple_of(start_ref[t], ch)
+    count = count_ref[t]
+    px, py = _pixel_block(t, tiles_x)
+    n_chunks = pl.cdiv(count, ch)
+
+    def dma(c):
+        slot = jax.lax.rem(c, 2)
+        return pltpu.make_async_copy(
+            inst_ref.at[:, pl.ds(start + c * ch, ch)],
+            smem.at[slot], sem.at[slot])
+
+    @pl.when(n_chunks > 0)
+    def _():
+        dma(jnp.int32(0)).start()
+
+    def chunk_body(c, state):
+        dmin, gwin = state
+
+        @pl.when(c + 1 < n_chunks)
+        def _():
+            dma(c + 1).start()
+
+        dma(c).wait()
+        slot = jax.lax.rem(c, 2)
+
+        # Padding instances carry all-zero columns: x0 == x1 == 0 can never
+        # cover a pixel, so full chunks run unmasked.
+        def group_body(gi, carry):
+            dmin, gwin = carry
+            i0 = gi * UNROLL
+            hits = []
+            for u in range(UNROLL):
+                i = i0 + u
+                x0 = smem[slot, 0, i]
+                y0 = smem[slot, 1, i]
+                x1 = smem[slot, 2, i]
+                y1 = smem[slot, 3, i]
+                hits.append((px >= x0) & (px < x1) & (py >= y0) & (py < y1))
+            for u in range(UNROLL):
+                i = i0 + u
+                d = smem[slot, 4, i]
+                g = smem[slot, 5, i]
+                better = hits[u] & (
+                    (d < dmin) | ((d == dmin) & (g < gwin)))
+                dmin = jnp.where(better, d, dmin)
+                gwin = jnp.where(better, g, gwin)
+            return dmin, gwin
+
+        return jax.lax.fori_loop(0, ch // UNROLL, group_body, (dmin, gwin))
+
+    init = (jnp.full((8, 128), BIG, jnp.float32),
+            jnp.full((8, 128), 2.0e38, jnp.float32))   # any-gid > real ids
+    dmin, gwin = jax.lax.fori_loop(0, n_chunks, chunk_body, init)
+
+    miss = dmin >= BIG
+    out_ref[0, 0] = jnp.where(miss, -1.0, gwin)
+    out_ref[0, 1] = jnp.where(miss, 0.0, dmin)
+
+
+def _zbuf_call(packed, tile_start, tile_count, *, num_tiles, ch, tiles_x,
+               interpret):
+    kernel = functools.partial(_zbuf_kernel, ch=ch, tiles_x=tiles_x)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(num_tiles,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(
+                (1, 2, 8, 128), lambda t, s1, s2: (t, 0, 0, 0),
+                memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.SMEM((2, ROWS, ch), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((num_tiles, 2, 8, 128), jnp.float32),
+        interpret=interpret,
+    )(tile_start, tile_count, packed)
+
+
+def compute_idxmap_tiled(
+    means3d: jnp.ndarray,
+    cam: CameraParams,
+    capacity: int,
+    alive: jnp.ndarray | None = None,
+    point_size: float = 3.0,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Drop-in replacement for ops.idxmap.compute_idxmap (same contract:
+    idx (H*W,) int32 with -1 misses, depth (N,), num_inst () demand) on the
+    tile pipeline. ``capacity`` here counts TILE instances (~25x fewer than
+    the pixel instances of the XLA path — one per covered 32×32 tile instead
+    of one per covered pixel); the true demand is returned for the same
+    autotune loop."""
+    means3d = jax.lax.stop_gradient(means3d)
+    n = means3d.shape[0]
+    assert n < (1 << 24), "gid rides an f32 lane; exact only below 2^24"
+    w, h = cam.width, cam.height
+    tiles_x = (w + BX - 1) // BX
+    tiles_y = (h + BY - 1) // BY
+    num_tiles = tiles_x * tiles_y
+
+    p_view = proj.transform_points_4x3(means3d, cam.view)
+    depth = p_view[..., 2]
+    ndc = proj.project_points(means3d, cam.full_proj)
+    fx = proj.ndc2pix(ndc[..., 0], w)
+    fy = proj.ndc2pix(ndc[..., 1], h)
+    cx = fx.astype(jnp.int32)
+    cy = fy.astype(jnp.int32)
+    radius = point_size / depth
+
+    # Pixel footprint rect, EXACTLY as the reference (raster.cu:51-52) and
+    # the XLA path: int-truncated float bounds.
+    x0 = jnp.maximum(0.0, fx - radius).astype(jnp.int32)
+    y0 = jnp.maximum(0.0, fy - radius).astype(jnp.int32)
+    x1 = jnp.minimum(float(w), fx + radius + 1.0).astype(jnp.int32)
+    y1 = jnp.minimum(float(h), fy + radius + 1.0).astype(jnp.int32)
+
+    valid = (depth > 0.2) & (cx >= 0) & (cx < w) & (cy >= 0) & (cy < h)
+    if alive is not None:
+        valid = valid & alive
+    valid = valid & (x1 > x0) & (y1 > y0)
+
+    # tile rect of the pixel rect (x1/y1 exclusive in pixels -> exclusive
+    # tile index from the last covered pixel)
+    tx0 = jnp.where(valid, x0 // BX, 0)
+    ty0 = jnp.where(valid, y0 // BY, 0)
+    tx1 = jnp.where(valid, (x1 - 1) // BX + 1, 0)
+    ty1 = jnp.where(valid, (y1 - 1) // BY + 1, 0)
+    tiles_touched = jnp.where(valid, (tx1 - tx0) * (ty1 - ty0), 0)
+
+    zeros2 = jnp.zeros((n, 2), jnp.float32)
+    pre = Preprocessed(
+        means2d=zeros2,
+        depths=depth,
+        radii=jnp.where(valid, 1, 0).astype(jnp.int32),
+        conic=jnp.zeros((n, 3), jnp.float32),
+        opacity=jnp.where(valid, 1.0, 0.0),
+        rgb=jnp.zeros((n, 3), jnp.float32),
+        rect_min=jnp.stack([tx0, ty0], axis=-1).astype(jnp.int32),
+        rect_max=jnp.stack([tx1, ty1], axis=-1).astype(jnp.int32),
+        tiles_touched=tiles_touched.astype(jnp.int32),
+    )
+    inst = binning.bin_gaussians(
+        pre, tiles_x, tiles_y, capacity, max_per_tile=1 << 30, align=CHUNK,
+        pack_keys=True, precise_cull=False, block_x=BX, block_y=BY,
+        width=w, height=h)
+
+    attrs = jnp.stack([
+        x0.astype(jnp.float32), y0.astype(jnp.float32),
+        x1.astype(jnp.float32), y1.astype(jnp.float32),
+        depth.astype(jnp.float32),
+        jnp.arange(n, dtype=jnp.float32),
+    ], axis=0)                                            # (6, N)
+    attrs = jnp.concatenate([attrs, jnp.zeros((6, 1), jnp.float32)], axis=1)
+    packed6 = attrs[:, inst.gid]                          # (6, K)
+    packed = jnp.concatenate(
+        [packed6, jnp.zeros((ROWS - 6, packed6.shape[1]), jnp.float32)],
+        axis=0)
+
+    raw = _zbuf_call(packed, inst.tile_start, inst.tile_count,
+                     num_tiles=num_tiles, ch=CHUNK, tiles_x=tiles_x,
+                     interpret=jax.default_backend() == "cpu")
+
+    from neuralgaussiansplatting_tpu.ops import blend as blend_xla
+    gimg = blend_xla.assemble_image(
+        raw[:, 0].reshape(num_tiles, PIX), tiles_x, tiles_y, BX, BY, w, h)
+    idx = gimg.astype(jnp.int32).reshape(w * h)
+    return idx, depth, inst.num_rendered

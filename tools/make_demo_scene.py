@@ -167,9 +167,12 @@ def main():
     with open(os.path.join(args.out, "transforms_video.json"), "w") as f:
         json.dump({"camera_angle_x": fovx, "frames": vframes}, f, indent=2)
 
-    # init cloud: subsampled noisy ground truth
+    # init cloud: subsampled noisy ground truth (with replacement when more
+    # init points than GT components are requested — the garden-regime runs
+    # start ABOVE the GT count, like the reference's dense SfM clouds)
     rng = np.random.default_rng(0)
-    idx = rng.choice(len(means), args.init_points, replace=False)
+    idx = rng.choice(len(means), args.init_points,
+                     replace=args.init_points > len(means))
     pts = means[idx] + rng.normal(0, 0.02, (args.init_points, 3))
     ply_io.store_point_cloud(os.path.join(args.out, "points3d.ply"),
                              pts, colors[idx])
