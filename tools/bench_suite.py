@@ -146,7 +146,7 @@ def main():
         def step(carry, s):
             p, np_ = carry
             def loss(p, np_):
-                out = render2(cam, p, np_, capacity=1 << 21)
+                out = render2(cam, p, np_, capacity=1 << 19)
                 return losses.photometric_loss(out["render"], gt + s, 0.2)
             _, (gp, gn) = jax.value_and_grad(loss, argnums=(0, 1))(p, np_)
             return (jax.tree.map(lambda a, b: a - 1e-30 * b, p, gp),

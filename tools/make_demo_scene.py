@@ -55,6 +55,10 @@ def main():
     parser.add_argument("--views", type=int, default=24)
     parser.add_argument("--n_gaussians", type=int, default=4000)
     parser.add_argument("--init_points", type=int, default=2000)
+    parser.add_argument("--init_noise", type=float, default=0.02,
+                        help="init-cloud jitter; the kNN scale init makes "
+                             "splat sizes track this, so garden-regime runs "
+                             "want it small (dense SfM-like cloud)")
     parser.add_argument("--gt_scale", type=float, default=1.0,
                         help="multiply GT splat sizes (smaller => garden-like"
                              " many-tiny-splat statistics)")
@@ -173,7 +177,8 @@ def main():
     rng = np.random.default_rng(0)
     idx = rng.choice(len(means), args.init_points,
                      replace=args.init_points > len(means))
-    pts = means[idx] + rng.normal(0, 0.02, (args.init_points, 3))
+    pts = means[idx] + rng.normal(0, args.init_noise,
+                                  (args.init_points, 3))
     ply_io.store_point_cloud(os.path.join(args.out, "points3d.ply"),
                              pts, colors[idx])
     print(f"demo scene written to {args.out}/ "

@@ -38,6 +38,12 @@ def main():
     ap.add_argument("--gt_gaussians", type=int, default=300_000)
     ap.add_argument("--gt_scale", type=float, default=0.35)
     ap.add_argument("--init_points", type=int, default=1_000_000)
+    ap.add_argument("--init_noise", type=float, default=0.004,
+                    help="tight jitter => kNN-scale init produces garden-"
+                         "like tiny splats (instance demand ~2-4M at 1080p;"
+                         " the 0.02 default gave ~60px splats whose ~20M-"
+                         "instance init demand overflows every static cap "
+                         "and traps training at ~9 dB)")
     ap.add_argument("--model_capacity", type=int, default=1 << 21)
     ap.add_argument("--steps_per_call", type=int, default=5)
     ap.add_argument("--skip_gen", action="store_true")
@@ -53,6 +59,7 @@ def main():
             "--views", str(args.views),
             "--n_gaussians", str(args.gt_gaussians),
             "--gt_scale", str(args.gt_scale),
+            "--init_noise", str(args.init_noise),
             "--init_points", str(args.init_points)])
 
     milestones = sorted({500, 1000, args.iters // 2, args.iters})
