@@ -173,16 +173,27 @@ def render_idxmaps(
     hit = idx >= 0
     safe = jnp.clip(idx, 0, means3d.shape[0] - 1)
 
-    pos = jax.lax.stop_gradient(means3d)[safe]
+    # ONE per-pixel row gather of everything the winner contributes
+    # [pos(3), depth(1), feature_tail(39)]: TPU row gathers pay a serial
+    # per-row cost, so six separate gathers (pos, depth, features, ...)
+    # cost ~6x one packed gather. (Also: the combined features[safe, 25:]
+    # advanced-index lowers to a catastrophically slow XLA gather on TPU
+    # (~230x) — slice first, then gather.)
+    table = jnp.concatenate([
+        jax.lax.stop_gradient(means3d),
+        jax.lax.stop_gradient(depth)[:, None],
+        features[:, PE_DIMS + 1:],
+    ], axis=1)                                             # (N, 43)
+    row = table[safe]                                      # (P, 43)
+    pos = row[:, :3]
+    d = row[:, 3]
+    feat_tail = row[:, 4:]                                 # (P, 39) — grads!
+
     dirs = pos - cam.campos[None, :]
     dirs = dirs / jnp.sqrt(jnp.maximum(
         jnp.sum(dirs * dirs, axis=-1, keepdims=True), 1e-16))
     pe = positional_encoding_3d(dirs)                      # (P, 24)
-    d = depth[safe]
 
-    # slice-then-gather: the combined features[safe, 25:] advanced-index
-    # lowers to a catastrophically slow XLA gather on TPU (~230x slower)
-    feat_tail = features[:, PE_DIMS + 1:][safe]            # (P, 39) — grads!
     fmap = jnp.concatenate([d[:, None], pe, feat_tail], axis=1)
     fmap = jnp.where(hit[:, None], fmap, 0.0)
 
