@@ -73,12 +73,14 @@ def main():
         "--steps_per_call", str(args.steps_per_call),
         "--backend", args.backend,
         "--model_capacity", str(args.model_capacity),
-        # dense capped expansion: domain = capacity * dense_cap = 2^24 at the
-        # 2^21 default — an exactly pow2 sort domain (no padding waste);
-        # instances past 8 tiles/gaussian drop with exact accounting (rare at
-        # garden splat statistics) and the drop-tolerant backward stays exact
-        "--expand", "dense", "--dense_cap", "8",
-        "--no-precise_cull",
+        # scatter expansion: at ~1-2M gaussians the O(N) diff-scatter costs
+        # ~50-90 ms/step but drops NOTHING. An earlier dense_cap=8 config
+        # dropped 66% of instances at init (real init clouds have fat
+        # tiles-touched tails — near-duplicate points produce a few huge
+        # splats) and training flatlined at 9 dB; budget starvation shows up
+        # as flat loss, so watch the dropped monitor, not just PSNR.
+        "--expand", "scatter",
+        "--max_per_tile", "16384",
     ]
     proc = subprocess.run(cmd, capture_output=True, text=True)
     wall = time.time() - t0
