@@ -44,9 +44,16 @@ class PipelineParams:
     compute_cov3D_python: bool = False
     debug: bool = False
     # TPU-native extensions:
-    backend: str = "pallas"        # "pallas" | "seq" | "xla" blend path
+    backend: str = "seq"           # "seq" | "pallas" | "xla" blend path
                                    # ("seq" = 32x32 sequential-instance
-                                   # kernels, the fastest TPU path)
+                                   # kernels, the fastest TPU path and the
+                                   # default; shapes it can't serve fall
+                                   # back to "pallas" automatically)
+    fast_sort: bool = False        # packed [tile|depth] single-int32 sort
+                                   # key: ~35% less sort traffic; nearly-
+                                   # coincident splats may swap blend order
+                                   # (sub-1e-3 image deviation). Off =>
+                                   # reference-exact ordering.
     capacity: int = 1 << 20        # instance buffer (static, monitored)
     max_per_tile: int = 4096       # per-tile depth cap
     tight_culling: bool = True     # opacity-adaptive rects (image-exact; see

@@ -116,6 +116,40 @@ def get_covariance(p: GaussianParams, scaling_modifier: float = 1.0) -> jnp.ndar
     return transforms.strip_symmetric(cov)
 
 
+def repad(params: GaussianParams, state, capacity: int):
+    """Re-pad a (params, state) pair to a new capacity.
+
+    Growing pads with zeros (identity quaternions for dead rotation slots —
+    NaN containment); shrinking is only legal when no alive slot lies beyond
+    the new capacity (raises ValueError otherwise — silently truncating live
+    Gaussians would corrupt the model). Used by checkpoint restores that
+    request an explicit --model_capacity different from the stored padding.
+    """
+    cap0 = params.xyz.shape[0]
+    if capacity == cap0:
+        return params, state
+    if capacity < cap0:
+        if bool(jnp.any(state.alive[capacity:])):
+            raise ValueError(
+                f"cannot shrink capacity {cap0} -> {capacity}: alive "
+                f"Gaussians exist beyond the requested capacity")
+        cut = lambda a: a[:capacity] if (
+            hasattr(a, "ndim") and a.ndim >= 1 and a.shape[0] == cap0) else a
+        return (GaussianParams(*[cut(l) for l in params]),
+                type(state)(*[cut(l) for l in state]))
+
+    def grow(leaf):
+        if hasattr(leaf, "ndim") and leaf.ndim >= 1 and leaf.shape[0] == cap0:
+            pad_width = [(0, capacity - cap0)] + [(0, 0)] * (leaf.ndim - 1)
+            return jnp.pad(leaf, pad_width)
+        return leaf
+
+    new_params = GaussianParams(*[grow(l) for l in params])
+    new_params = new_params._replace(
+        rotation=new_params.rotation.at[cap0:, 0].set(1.0))
+    return new_params, type(state)(*[grow(l) for l in state])
+
+
 # ---------------------------------------------------------------------------
 # Construction
 # ---------------------------------------------------------------------------

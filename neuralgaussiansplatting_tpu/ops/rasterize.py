@@ -36,15 +36,18 @@ from neuralgaussiansplatting_tpu.ops import projection as proj
 class RasterizeSettings:
     """Static rasterizer configuration (hashable; safe as a jit static arg)."""
 
-    block_x: int = 16
-    block_y: int = 16
+    block_x: int = 32
+    block_y: int = 32
     capacity: int = 1 << 18        # global instance buffer (CUDA: dynamic)
     max_per_tile: int = 1024       # per-tile blend cap
-    chunk: int = 32                # instances blended per scan step
-    backend: str = "pallas"        # "pallas" (16x16 lane-layout kernels) |
-                                   # "seq" (32x32 sequential-instance
-                                   # kernels, ops/blend_seq.py; requires
-                                   # block_x=block_y=32, chunk=128) | "xla"
+    chunk: int = 128               # instances blended per scan step
+    backend: str = "seq"           # "seq" (32x32 sequential-instance
+                                   # production kernels, ops/blend_seq.py;
+                                   # requires block_x=block_y=32, chunk=128 —
+                                   # other shapes fall back to "pallas") |
+                                   # "pallas" (16x16 lane-layout kernels,
+                                   # the first-generation cross-check path) |
+                                   # "xla" (scan oracle)
     scale_modifier: float = 1.0
     fast_sort: bool = False        # packed [tile|depth] key (see binning)
     tight_culling: bool = False    # opacity-adaptive per-axis rects (see
@@ -105,7 +108,7 @@ class RasterizeSettings:
         )
 
 
-def make_settings(backend: str = "pallas", **kw) -> "RasterizeSettings":
+def make_settings(backend: str = "seq", **kw) -> "RasterizeSettings":
     """Backend-appropriate settings: the seq path fixes its tile/chunk shape
     (32x32 tiles, 128-wide chunks); pallas uses 16x16 tiles with 128-wide
     chunks; the XLA oracle scans 32 instances at a time."""
@@ -114,6 +117,8 @@ def make_settings(backend: str = "pallas", **kw) -> "RasterizeSettings":
         kw.setdefault("block_y", 32)
         kw.setdefault("chunk", 128)
     else:
+        kw.setdefault("block_x", 16)
+        kw.setdefault("block_y", 16)
         kw.setdefault("chunk", 128 if backend == "pallas" else 32)
     return RasterizeSettings(backend=backend, **kw)
 
@@ -191,7 +196,17 @@ def rasterize(
         width=cam.width, height=cam.height,
         expand=expand, dense_cap=settings.dense_cap)
 
-    if settings.backend == "pallas":
+    # Effective backend: "seq" has a fixed kernel layout (full-vreg 32x32
+    # pixel blocks, 128-lane DMA chunks). Settings carrying other shapes
+    # (tests and tools pick small blocks/chunks deliberately) fall back to
+    # the shape-generic pallas kernels rather than asserting — so "seq" can
+    # be the default without constraining every construction site.
+    backend = settings.backend
+    if backend == "seq" and (settings.block_x != 32 or settings.block_y != 32
+                             or settings.chunk != 128):
+        backend = "pallas"
+
+    if backend == "pallas":
         from neuralgaussiansplatting_tpu.ops import blend_pallas
         res = blend_pallas.blend_tiles(
             inst, pre.means2d, pre.conic, pre.opacity, pre.rgb,
@@ -200,7 +215,7 @@ def rasterize(
             track_contrib=settings.track_contrib,
             grad_reduce=settings.grad_reduce,
         )
-    elif settings.backend == "seq":
+    elif backend == "seq":
         from neuralgaussiansplatting_tpu.ops import blend_seq
         res = blend_seq.blend_tiles_seq(
             inst, pre.means2d, pre.conic, pre.opacity, pre.rgb,

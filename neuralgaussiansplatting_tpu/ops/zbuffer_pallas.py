@@ -215,4 +215,11 @@ def compute_idxmap_tiled(
     gimg = blend_xla.assemble_image(
         raw[:, 0].reshape(num_tiles, PIX), tiles_x, tiles_y, BX, BY, w, h)
     idx = gimg.astype(jnp.int32).reshape(w * h)
-    return idx, depth, inst.num_rendered
+    # Demand monitor: binning drops whole tiles when the 128-ALIGNED segment
+    # demand exceeds capacity, which on sparse scenes (short per-tile lists,
+    # many nonempty tiles) can far exceed the raw instance count — a
+    # num_rendered-only monitor would read healthy while tiles silently
+    # render as misses. Report the max so the caller's capacity autotune
+    # covers the actual drop criterion.
+    demand = jnp.maximum(inst.num_rendered, inst.aligned_demand)
+    return idx, depth, demand

@@ -185,6 +185,57 @@ class Trainer:
         self.key = jax.random.PRNGKey(self.seed)
         self.bg = jnp.asarray(
             [1.0, 1.0, 1.0] if self.white_background else [0.0, 0.0, 0.0])
+        self._expand_auto = self.settings.expand == "auto"
+        self._drop_warned = 0
+        self._resolve_expand()
+
+    def _resolve_expand(self):
+        """Resolve ``expand='auto'`` from the host-known ALIVE count.
+
+        ``rasterize``'s own static fallback can only see the capacity-PADDED
+        array size, which misclassifies a small scene padded to >= 2^20 as
+        garden-regime: the dense capped expansion would then both pay an
+        N*dense_cap sort domain AND silently drop every instance beyond
+        ``dense_cap`` tiles. The trainer knows the true alive count between
+        steps and picks the mode from it (the diff-scatter expansion is
+        O(padded N) serial, but correctness beats the scatter cost for
+        mid-size scenes; at >= 2^20 truly-alive gaussians splats are tiny and
+        the dense cap genuinely covers demand)."""
+        if not self._expand_auto:
+            return False
+        alive = int(jnp.sum(self.ts.gstate.alive))
+        want = "dense" if alive >= (1 << 20) else "scatter"
+        if self.settings.expand != want:
+            self.settings = dataclasses.replace(self.settings, expand=want)
+            return True
+        return False
+
+    def _check_drops(self, metrics):
+        """Surface instance drops (caps/dense_cap/capacity overflow) and
+        self-heal dense-mode underexpansion by escalating ``dense_cap``.
+
+        Silent drops are the classic garden failure mode (DESIGN.md: a run
+        that flatlines at ~9 dB from step 0 with nothing obviously failing);
+        the monitor exists — make it loud and, where the cause is the static
+        dense cap, fix it like every other capacity re-bucketing."""
+        dropped = int(metrics["dropped"])
+        if dropped <= 0:
+            return
+        if self.settings.expand == "dense" and self.settings.dense_cap < 64:
+            self.settings = dataclasses.replace(
+                self.settings, dense_cap=self.settings.dense_cap * 2)
+            metrics["retuned_dense_cap"] = self.settings.dense_cap
+            print(f"[warn] {dropped} instances dropped under dense "
+                  f"expansion; escalating dense_cap to "
+                  f"{self.settings.dense_cap} (recompile)")
+        elif self._drop_warned < 8:
+            self._drop_warned += 1
+            print(f"[warn] {dropped} instances dropped "
+                  f"(num_rendered={int(metrics['num_rendered'])}, "
+                  f"aligned_demand={int(metrics['aligned_demand'])}, "
+                  f"capacity={self.settings.capacity}); rendered image is "
+                  f"missing contributors — raise capacity/max_per_tile or "
+                  f"check init splat sizes")
 
     def sync_model(self):
         """Reflect device state back into the GaussianModel wrapper."""
@@ -251,7 +302,8 @@ class Trainer:
                     metrics["grew_capacity"] = self.ts.params.xyz.shape[0]
 
         # instance-capacity re-bucketing onto the measured demand (see
-        # tune_capacity)
+        # tune_capacity), drop monitoring, and expand-mode re-resolution —
+        # all on the same host-sync cadence
         if self.auto_tune_capacity and iteration % self.tune_interval == 0:
             new_settings, tuned = tune_capacity(
                 self.settings, int(metrics["num_rendered"]),
@@ -260,6 +312,8 @@ class Trainer:
             if tuned:
                 self.settings = new_settings
                 metrics["retuned_capacity"] = new_settings.capacity
+            self._check_drops(metrics)
+            self._resolve_expand()
         return metrics
 
     def step_block(self, cams, gts, first_iteration: int):
@@ -331,6 +385,8 @@ class Trainer:
             if tuned:
                 self.settings = new_settings
                 metrics["retuned_capacity"] = new_settings.capacity
+            self._check_drops(metrics)
+            self._resolve_expand()
         return metrics
 
     def maybe_grow(self, headroom: float = 0.85, factor: int = 2) -> bool:

@@ -64,7 +64,7 @@ def main():
     settings = rast.make_settings(
         pipe.backend, capacity=pipe.capacity, max_per_tile=pipe.max_per_tile,
         expand=pipe.expand, dense_cap=pipe.dense_cap,
-        precise_cull=pipe.precise_cull)
+        precise_cull=pipe.precise_cull, fast_sort=pipe.fast_sort)
 
     if not args.skip_train:
         render_set(dataset.model_path, "train", scene.loaded_iter,

@@ -257,6 +257,7 @@ def test_precise_cull_conservative_per_pixel():
     cam, args = _scene(n=200, deg=0, seed=33, w=48, h=48)
     bg = np.asarray([0.1, 0.2, 0.3], np.float32)
     st = rast.RasterizeSettings(capacity=1 << 14, max_per_tile=512, chunk=8,
+                                block_x=16, block_y=16,
                                 backend="pallas", tight_culling=True,
                                 precise_cull=True)
     out = rast.rasterize(*args, 0, cam, jnp.asarray(bg), st)

@@ -17,8 +17,10 @@ from neuralgaussiansplatting_tpu.train.loop import TrainState
 
 from scenes import make_camera, random_gaussians
 
+# 16x16 tiles: strip_cameras splits frames on 16-row boundaries here
 SETTINGS = rast.RasterizeSettings(capacity=1 << 14, max_per_tile=256,
-                                  chunk=16, backend="xla")
+                                  chunk=16, block_x=16, block_y=16,
+                                  backend="xla")
 
 
 def test_eight_devices_available():

@@ -17,7 +17,11 @@ import oracle
 # including exact n_contrib indices, which the (image/grad-exact) cull
 # legitimately renumbers — the cull has its own oracle gate in
 # tests/test_blend_pallas.py::test_precise_cull_conservative_per_pixel
+# Pinned 16x16 tiles: these tests gate against the numpy per-pixel oracle
+# (tests/oracle.py), whose contributor sets replicate the reference's
+# 16x16 rect truncation; the production default is 32x32 (backend="seq").
 SETTINGS = rast.RasterizeSettings(capacity=1 << 15, max_per_tile=512, chunk=16,
+                                  block_x=16, block_y=16,
                                   precise_cull=False)
 
 
@@ -376,6 +380,7 @@ def test_dense_expansion_matches_scatter():
     args = (jnp.asarray(means), jnp.asarray(scales), jnp.asarray(rot),
             jnp.asarray(opac), jnp.asarray(shs))
     base = rast.RasterizeSettings(capacity=1 << 13, max_per_tile=512, chunk=8,
+                                  block_x=16, block_y=16,
                                   backend="xla", tight_culling=True)
     dense = dataclasses.replace(base, expand="dense", dense_cap=64)
     bg = jnp.asarray([0.2, 0.1, 0.3])

@@ -234,7 +234,8 @@ def main():
     settings = rast.make_settings(
         pipe.backend, capacity=pipe.capacity, max_per_tile=pipe.max_per_tile,
         tight_culling=pipe.tight_culling, expand=pipe.expand,
-        dense_cap=pipe.dense_cap, precise_cull=pipe.precise_cull)
+        dense_cap=pipe.dense_cap, precise_cull=pipe.precise_cull,
+        fast_sort=pipe.fast_sort)
     opt = optim.OptimizationParams(
         **{f: getattr(opt_args, f) for f in (
             "iterations", "position_lr_init", "position_lr_final",

@@ -91,8 +91,14 @@ def main():
                                 for x in tuple(payload["params"])]))
         gaussians.state = gm.GaussianState(
             *[jnp.asarray(x) for x in tuple(payload["gstate"])])
+        if (args.model_capacity is not None
+                and args.model_capacity != gaussians.capacity):
+            # honor --model_capacity like the --start_ply path does (load_ply
+            # repads); raises if live Gaussians would be truncated
+            gaussians.params, gaussians.state = gm.repad(
+                gaussians.params, gaussians.state, args.model_capacity)
         print(f"Geometry restored from {args.start_checkpoint} "
-              f"({gaussians.num_alive} alive)")
+              f"({gaussians.num_alive} alive, capacity {gaussians.capacity})")
     elif args.start_ply:
         gaussians.load_ply(args.start_ply, capacity=args.model_capacity)
         print(f"Geometry loaded from {args.start_ply} "
