@@ -60,9 +60,9 @@ class PipelineParams:
                                    # ops/preprocess.py — only diagnostic
                                    # n_contrib / demand monitors shrink)
     expand: str = "auto"           # instance expansion: "scatter" | "dense" |
-                                   # "auto" (dense above ~1M gaussians — the
-                                   # run-length diff-scatter is O(N); see
-                                   # ops/binning.py)
+                                   # "auto" (= scatter at every scale since
+                                   # the round-5 single-column expansion;
+                                   # see ops/binning._expand_rows)
     dense_cap: int = 16            # per-gaussian slot cap in dense mode
     precise_cull: bool = True      # exact per-instance coverage cull; a win
                                    # at 800p-class statistics (~11% fewer

@@ -19,6 +19,7 @@ from __future__ import annotations
 from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 # torch kaiming_normal_ default: fan_in mode, gain sqrt(2) (leaky_relu a=0)
@@ -26,6 +27,15 @@ kaiming = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
 
 # All modules accept ``dtype`` (compute precision; params stay f32). bf16
 # doubles conv throughput on the MXU; outputs are cast back to f32.
+#
+# Negative result (round 5, kept for the record): reformulating the convs
+# as unrolled per-tap (H*W, Cin) @ (Cin, Cout) MXU matmuls (shift-MAC, the
+# trick that wins for SSIM/denoise constant windows) LOSES 3x at these
+# shapes — every tap's shifted window reshape materializes a full
+# activation-sized copy (164-256 MB at 800^2), so the formulation is
+# memory-bound at ~GBs per conv while XLA's native conv fuses window
+# extraction and reads the input ~once. jax.checkpoint around the taps
+# avoids the 16 GB residual OOM but not the traffic.
 
 
 class FeatureToRGBMLP(nn.Module):

@@ -89,7 +89,20 @@ def _blocked_cumsum(x: jnp.ndarray, block: int = 1024) -> jnp.ndarray:
         x = jnp.concatenate(
             [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
     xb = x.reshape((nb, block) + x.shape[1:])
-    within = jnp.cumsum(xb, axis=1)
+    # In-block scan as explicit log-shift (Hillis-Steele) doubling: XLA
+    # lowers lax.cumsum to a reduce-window on TPU (~0.65 ms for a 640k i32
+    # scan, ~1.1 ms for a (512k, 9) f32 one); the pad-shift-add ladder
+    # fuses into one cheap loop fusion (~0.04 ms for the same shapes).
+    # Integer adds wrap associatively (bit-exact); float prefixes
+    # reassociate into log-depth trees — a DIFFERENT (generally tighter)
+    # error profile than the sequential scan, not a worse one.
+    within = xb
+    sh = 1
+    while sh < block:
+        shifted = jnp.pad(within[:, :-sh],
+                          [(0, 0), (sh, 0)] + [(0, 0)] * (x.ndim - 1))
+        within = within + shifted
+        sh *= 2
     totals = within[:, -1]
     prefix = jnp.cumsum(totals, axis=0) - totals
     out = within + prefix[:, None]
@@ -125,6 +138,38 @@ def _gather_aligned_runs(values: jnp.ndarray, base: jnp.ndarray,
         buf = jnp.where((o & sh).astype(bool)[:, None], rolled, buf)
         sh *= 2
     return buf[:, :b].reshape(base.shape[0] * b)
+
+
+def _expand_rows(fields: jnp.ndarray, starts: jnp.ndarray,
+                 capacity: int) -> jnp.ndarray:
+    """Per-run rows -> per-slot rows via owner-gid telescoping + row gather.
+
+    The owner of slot s is the LARGEST g with starts[g] <= s: starts are
+    non-decreasing, so any g' > g with starts[g'] <= s would need
+    starts[g'] >= starts[g+1] = starts[g] + len[g] > s — impossible while g
+    owns s. The owner index itself telescopes (scatter +1 at every run
+    start past the first; wrapping cumsum — ties from zero-length runs
+    absorb exactly), so one SINGLE-column scatter-add suffices — the only
+    scatter shape XLA:TPU vectorizes (~0.7 ms at 100k rows vs ~4.5 ms for
+    any multi-column scatter, which serializes at ~45 ns/row) — and every
+    field column rides one 2-D ROW gather (~2.6 ns/row on the current
+    toolchain). Replaces the historical all-columns diff-scatter.
+    Slots past the last run repeat the final row (callers mask with their
+    in-range predicate).
+
+    Layout note: the gather runs on the TRANSPOSED (F, N) table and emits
+    (F, K) — consumers read whole contiguous rows. A (K, F) row gather is
+    equally fast but every per-column consumer then pays a ~0.5 ms strided
+    relayout (measured: +3 ms across 6 columns at 640k).
+    """
+    n = fields.shape[1]
+    ones = jnp.ones((n - 1,), jnp.int32)
+    seed = jnp.zeros((capacity,), jnp.int32).at[starts[1:]].add(
+        ones, mode="drop")
+    gid = _blocked_cumsum(seed)
+    # Barrier: ex has ~6 downstream consumers, and XLA freely DUPLICATES
+    # gathers into each consumer fusion — materialize exactly once.
+    return jax.lax.optimization_barrier(fields[:, gid]), gid
 
 
 def _expand_runs(fields: jnp.ndarray, starts: jnp.ndarray,
@@ -290,19 +335,22 @@ def bin_gaussians(pre: Preprocessed, tiles_x: int, tiles_y: int,
             jnp.arange(n, dtype=jnp.int32)[:, None], (n, m)).reshape(domain)
         trunc = clipped
     else:
-        # Run-length expansion via scatter-of-differences + wrapping cumsum
-        # (see module docstring). The three tile-rect fields pack into one
-        # int32 column (10 bits each); expansion traffic is proportional to
-        # the column count, and the telescoping reconstruction is exact for
-        # any packed linear combination.
+        # Run-length expansion via jnp.repeat (lowered by XLA:TPU to an F=1
+        # counting scatter + cumsum + a vectorized ROW gather). Measured on
+        # the current toolchain: 1.65 ms for 100k rows x 6 cols -> 640k
+        # slots, vs 4.5 ms for the historical diff-scatter + cumsum form
+        # (multi-column scatter-adds serialize at ~45 ns/row; 2-D row
+        # gathers run at ~2.6 ns/row). The three tile-rect fields still
+        # pack into one int32 column (10 bits each) to keep rows narrow.
         domain = capacity
         packed_rect = (pre.rect_min[:, 0] * (1 << 20)
                        + pre.rect_min[:, 1] * (1 << 10) + rect_w)
+        # no gid column: the owner index is the gather INDEX itself and
+        # comes back 1-D from _expand_rows for free
         columns = [
-            jnp.arange(n, dtype=jnp.int32),   # 0: gid
-            starts,                            # 1: run start
-            packed_rect,                       # 2: [min_x | min_y | width]
-            depth_bits,                        # 3: depth key
+            starts,                            # 0: run start
+            packed_rect,                       # 1: [min_x | min_y | width]
+            depth_bits,                        # 2: depth key
         ]
 
         # Absolute quantization grid (0.25 px), NOT frame-relative:
@@ -321,18 +369,24 @@ def bin_gaussians(pre: Preprocessed, tiles_x: int, tiles_y: int,
                 hi_q = jnp.clip(jnp.ceil((hi + span) / qscale), 0, 65535)
                 return (lo_q.astype(jnp.int32) * 65536    # wraps; unpack
                         + hi_q.astype(jnp.int32))         # is logical
-            columns.append(qpack(s1 - r1, s1 + r1))  # 4: diag (1, 1)
-            columns.append(qpack(s2 - r2, s2 + r2))  # 5: diag (1, -1)
+            columns.append(qpack(s1 - r1, s1 + r1))  # 3: diag (1, 1)
+            columns.append(qpack(s2 - r2, s2 + r2))  # 4: diag (1, -1)
 
-        fields = jnp.stack(columns, axis=1).astype(jnp.int32)
-        ex = _expand_runs(fields, starts, capacity)
+        fields = jnp.stack(columns, axis=0).astype(jnp.int32)
+        ex, gid_exp = _expand_rows(fields, starts, capacity)
 
+        # Consumer math stays 2-D on (1, K) row slices of the gathered
+        # (F, K) table: every slice-to-1-D conversion of a T(8,128)-tiled
+        # row is a ~0.4 ms relayout pass at 640k (measured: the naive
+        # per-column extraction cost more than the expansion itself), so
+        # only the final sort operands are reshaped down.
         slots = jnp.arange(capacity, dtype=jnp.int32)
-        in_range = slots < num_rendered
-        local = slots - ex[:, 1]
-        rw = jnp.maximum(ex[:, 2] & 1023, 1)
-        tx = jax.lax.shift_right_logical(ex[:, 2], 20) + local % rw
-        ty = (jax.lax.shift_right_logical(ex[:, 2], 10) & 1023) + local // rw
+        iota2 = jax.lax.broadcasted_iota(jnp.int32, (1, capacity), 1)
+        in_range2 = iota2 < num_rendered
+        local2 = iota2 - ex[0:1]
+        rw2 = jnp.maximum(ex[1:2] & 1023, 1)
+        tx2 = jax.lax.shift_right_logical(ex[1:2], 20) + local2 % rw2
+        ty2 = (jax.lax.shift_right_logical(ex[1:2], 10) & 1023) + local2 // rw2
 
         if precise_cull:
             def qunpack(col):
@@ -340,9 +394,11 @@ def bin_gaussians(pre: Preprocessed, tiles_x: int, tiles_y: int,
                 hi = (col & 0xFFFF).astype(jnp.float32)
                 return lo * qscale - span, hi * qscale - span
 
-            lo1, hi1 = qunpack(ex[:, 4])
-            lo2, hi2 = qunpack(ex[:, 5])
-            keep = in_range & cull_keep(tx, ty, lo1, hi1, lo2, hi2)
+            lo1, hi1 = qunpack(ex[3:4])
+            lo2, hi2 = qunpack(ex[4:5])  # noqa: columns 3/4 are the packed
+                                         # diagonal support intervals
+            keep2 = in_range2 & cull_keep(tx2, ty2, lo1, hi1, lo2, hi2)
+            keep = keep2.reshape(capacity)
             # Relabel expansion slots to their kept rank: the gradient
             # reduction needs contiguous per-Gaussian runs over the *packed*
             # instance set; the per-Gaussian boundaries follow by reading
@@ -353,20 +409,33 @@ def bin_gaussians(pre: Preprocessed, tiles_x: int, tiles_y: int,
             eid_new = kept_incl - keep_i
             kept_total = kept_incl[capacity - 1]
             pfx = jnp.concatenate([jnp.zeros((1,), jnp.int32), kept_incl])
-            gstart_eff = pfx[jnp.minimum(starts, capacity)]
-            gcount_eff = pfx[jnp.minimum(offsets, capacity)] - gstart_eff
+            # one 2-D single-column row gather for both boundary reads: a
+            # 1-D gather pays ~6.7 ns/element serially, the row form ~2
+            bounds = jnp.concatenate([jnp.minimum(starts, capacity),
+                                      jnp.minimum(offsets, capacity)])
+            pb = pfx[:, None][bounds][:, 0]
+            gstart_eff = pb[:n]
+            gcount_eff = pb[n:] - gstart_eff
         else:
-            keep = in_range
+            keep2 = in_range2
+            keep = keep2.reshape(capacity)
             eid_new = slots
             kept_total = jnp.minimum(num_rendered, capacity)
             gstart_eff = jnp.minimum(starts, capacity)
             gcount_eff = jnp.minimum(offsets, capacity) - gstart_eff
-        gid_col = ex[:, 0]
-        depth_col = ex[:, 3]
+        gid_col = gid_exp            # 1-D from the owner cumsum, no gather
+        tile2 = jnp.where(keep2, ty2 * tiles_x + tx2,
+                          num_tiles).astype(jnp.int32)
+        # the depth key stays in its (1, K) row until key/dkey construction
+        depth2 = ex[2:3]
         # instances lost to expansion truncation (num_rendered > capacity)
         trunc = jnp.maximum(num_rendered - capacity, 0)
 
-    tile = jnp.where(keep, ty * tiles_x + tx, num_tiles).astype(jnp.int32)
+    if expand == "dense":
+        tile2 = jnp.where(keep, ty * tiles_x + tx,
+                          num_tiles).astype(jnp.int32).reshape(1, domain)
+        depth2 = depth_col.reshape(1, domain)
+        keep2 = keep.reshape(1, domain)
     gid_slot = jnp.where(keep, gid_col, n)
     eid_slot = jnp.where(keep, eid_new, domain)
 
@@ -377,18 +446,20 @@ def bin_gaussians(pre: Preprocessed, tiles_x: int, tiles_y: int,
     if pack_keys:
         tile_bits = max(int(num_tiles + 1).bit_length(), 1)
         depth_bits_kept = 31 - tile_bits
-        dq = jax.lax.shift_right_logical(depth_col, 31 - depth_bits_kept)
-        key = tile * (1 << depth_bits_kept) + dq
-        key = jnp.where(keep, key, jnp.iinfo(jnp.int32).max)
+        dq = jax.lax.shift_right_logical(depth2, 31 - depth_bits_kept)
+        key2 = tile2 * (1 << depth_bits_kept) + dq
+        key2 = jnp.where(keep2, key2, jnp.iinfo(jnp.int32).max)
+        key = key2.reshape(domain)
         sorted_key, sorted_gid, sorted_e = jax.lax.sort(
             (key, gid_slot, eid_slot), num_keys=1)
         sorted_tile = jnp.where(
             sorted_key == jnp.iinfo(jnp.int32).max, num_tiles,
             jax.lax.shift_right_logical(sorted_key, depth_bits_kept))
     else:
-        dkey = jnp.where(keep, depth_col, jnp.iinfo(jnp.int32).max)
+        dkey2 = jnp.where(keep2, depth2, jnp.iinfo(jnp.int32).max)
         sorted_tile, _, sorted_gid, sorted_e = jax.lax.sort(
-            (tile, dkey, gid_slot, eid_slot), num_keys=2)
+            (tile2.reshape(domain), dkey2.reshape(domain), gid_slot,
+             eid_slot), num_keys=2)
 
     tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
     raw_start = jnp.searchsorted(sorted_tile, tile_ids,

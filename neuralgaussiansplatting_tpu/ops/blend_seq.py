@@ -56,7 +56,7 @@ from neuralgaussiansplatting_tpu.ops.blend_pallas import (
 CHUNK = 128      # lane width of a DMA chunk == binning alignment
 BX = BY = 32     # tile pitch: 1024 px = one (8, 128) f32 vreg
 PIX = BX * BY
-UNROLL = 8       # instances per unrolled group (ILP for the alpha math)
+UNROLL = 16      # instances per unrolled group (ILP for the alpha math)
 
 
 def _pixel_block(t, tiles_x):
@@ -89,7 +89,7 @@ def monomial_maps():
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(start_ref, count_ref, inst_ref, out_ref, smem, sem,
-                *, ch, tiles_x, track_contrib):
+                *, ch, tiles_x, track_contrib, static_unroll=True):
     t = pl.program_id(0)
     start = pl.multiple_of(start_ref[t], ch)
     count = count_ref[t]
@@ -152,14 +152,25 @@ def _fwd_kernel(start_ref, count_ref, inst_ref, out_ref, smem, sem,
                 cg = cg + w * smem[slot, 7, i]
                 cb = cb + w * smem[slot, 8, i]
                 if track_contrib:
-                    last = jnp.where(alive & (a > 0.0),
-                                     base + (i + 1).astype(jnp.float32), last)
+                    # i is a python int when statically unrolled, a traced
+                    # int32 under the interpret-mode fori_loop; f32 + i32
+                    # promotes to f32 either way
+                    last = jnp.where(alive & (a > 0.0), base + (i + 1), last)
                 t_col = jnp.where(alive, t_new, t_col)
                 done = jnp.where(t_new < STOP_T, 1.0, done)
             return t_col, done, cr, cg, cb, last
 
-        t_col, done, cr, cg, cb, last = jax.lax.fori_loop(
-            0, ch // UNROLL, group_body, (t_col, done, cr, cg, cb, last))
+        # Static unroll on TPU: Mosaic pays a measurable per-iteration
+        # carry cost for an inner fori_loop (~2.7 ms/step at 800^2 across
+        # both kernels); interpret mode (CPU tests) keeps the loop — the
+        # fully unrolled 128-instance trace compiles ~10x slower there.
+        state = (t_col, done, cr, cg, cb, last)
+        if static_unroll:
+            for gi in range(ch // UNROLL):
+                state = group_body(gi, state)
+        else:
+            state = jax.lax.fori_loop(0, ch // UNROLL, group_body, state)
+        t_col, done, cr, cg, cb, last = state
         return c + 1, t_col, done, cr, cg, cb, last
 
     def cond(state):
@@ -190,7 +201,8 @@ def _fwd_kernel(start_ref, count_ref, inst_ref, out_ref, smem, sem,
 
 def _bwd_kernel(start_ref, count_ref, inst_ref, mono_ref, res_ref, cot_ref,
                 grad_ref, smem, vchunk, gchunk, dmat, wmat,
-                sem_s, sem_v, sem_out, *, ch, tiles_x, track_contrib):
+                sem_s, sem_v, sem_out, *, ch, tiles_x, track_contrib,
+                static_unroll=True):
     t = pl.program_id(0)
     start = pl.multiple_of(start_ref[t], ch)
     count = count_ref[t]
@@ -297,8 +309,13 @@ def _bwd_kernel(start_ref, count_ref, inst_ref, mono_ref, res_ref, cot_ref,
                 done = jnp.where(t_new < STOP_T, 1.0, done)
             return t_col, done, prefix
 
-        t_col, done, prefix = jax.lax.fori_loop(
-            0, ch // UNROLL, group_body, (t_col, done, prefix))
+        state = (t_col, done, prefix)
+        if static_unroll:
+            for gi in range(ch // UNROLL):
+                state = group_body(gi, state)
+        else:
+            state = jax.lax.fori_loop(0, ch // UNROLL, group_body, state)
+        t_col, done, prefix = state
 
         # lane-parallel reduction of ALL 128 instances at once: per-pixel
         # moment maps ride (1, PIX) rows broadcast over the instance sublanes
@@ -364,7 +381,8 @@ def _bwd_kernel(start_ref, count_ref, inst_ref, mono_ref, res_ref, cot_ref,
 def _fwd_call(packed, tile_start, tile_count, *, num_tiles, ch, tiles_x,
               interpret, track_contrib):
     kernel = functools.partial(
-        _fwd_kernel, ch=ch, tiles_x=tiles_x, track_contrib=track_contrib)
+        _fwd_kernel, ch=ch, tiles_x=tiles_x, track_contrib=track_contrib,
+        static_unroll=not interpret)
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -387,7 +405,8 @@ def _fwd_call(packed, tile_start, tile_count, *, num_tiles, ch, tiles_x,
 def _bwd_call(packed, raw, cot, tile_start, tile_count, *, num_tiles, ch,
               tiles_x, interpret, track_contrib):
     kernel = functools.partial(
-        _bwd_kernel, ch=ch, tiles_x=tiles_x, track_contrib=track_contrib)
+        _bwd_kernel, ch=ch, tiles_x=tiles_x, track_contrib=track_contrib,
+        static_unroll=not interpret)
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(

@@ -179,6 +179,12 @@ def render_idxmaps(
     # cost ~6x one packed gather. (Also: the combined features[safe, 25:]
     # advanced-index lowers to a catastrophically slow XLA gather on TPU
     # (~230x) — slice first, then gather.)
+    # Negative result (round 5): replacing this gather's autodiff
+    # transpose with a sort-based per-winner segment reduction (2-op sort
+    # + row gather + blocked cumsum + histogram boundaries) measured
+    # 155.9 ms/step vs 139.2 ms for XLA's own scatter-add transpose — the
+    # multi-column-scatter serialization model (~45 ns/row) does NOT apply
+    # to this f32 row pattern; don't re-add it.
     table = jnp.concatenate([
         jax.lax.stop_gradient(means3d),
         jax.lax.stop_gradient(depth)[:, None],

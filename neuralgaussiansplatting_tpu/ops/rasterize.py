@@ -183,10 +183,15 @@ def rasterize(
 
     expand = settings.expand
     if expand == "auto":
-        # the diff-scatter expansion is O(N gaussians) serial (~44 ns/row);
-        # above ~1M padded gaussians the dense capped layout wins (and its
-        # per-gaussian drops are rare there — garden-scale splats are tiny)
-        expand = "dense" if means3d.shape[0] >= (1 << 20) else "scatter"
+        # Round-5 re-measurement: the run-length expansion now costs one
+        # SINGLE-column scatter + cumsum + row gather (ops/binning.
+        # _expand_rows) instead of the historical multi-column diff-scatter
+        # whose O(N) serialization motivated dense mode. At 5M/1080p the
+        # scatter expansion's smaller sort domain (true capacity vs
+        # n*dense_cap) wins outright: fwd 324 ms vs 420 ms dense
+        # (tools/bench_garden.py --seqscatter) — and it never drops
+        # instances at a dense_cap. Dense remains an explicit opt-in.
+        expand = "scatter"
     inst = binning.bin_gaussians(
         pre, tiles_x, tiles_y, settings.capacity, settings.max_per_tile,
         settings.chunk, pack_keys=settings.fast_sort,

@@ -45,7 +45,7 @@ BIG = 3.0e38      # initial depth (no +inf literals inside the kernel)
 
 
 def _zbuf_kernel(start_ref, count_ref, inst_ref, out_ref, smem, sem,
-                 *, ch, tiles_x):
+                 *, ch, tiles_x, static_unroll=True):
     t = pl.program_id(0)
     start = pl.multiple_of(start_ref[t], ch)
     count = count_ref[t]
@@ -95,7 +95,13 @@ def _zbuf_kernel(start_ref, count_ref, inst_ref, out_ref, smem, sem,
                 gwin = jnp.where(better, g, gwin)
             return dmin, gwin
 
-        return jax.lax.fori_loop(0, ch // UNROLL, group_body, (dmin, gwin))
+        state = (dmin, gwin)
+        if static_unroll:
+            for gi in range(ch // UNROLL):   # static: no loop carry cost
+                state = group_body(gi, state)
+        else:
+            state = jax.lax.fori_loop(0, ch // UNROLL, group_body, state)
+        return state
 
     init = (jnp.full((8, 128), BIG, jnp.float32),
             jnp.full((8, 128), 2.0e38, jnp.float32))   # any-gid > real ids
@@ -108,7 +114,8 @@ def _zbuf_kernel(start_ref, count_ref, inst_ref, out_ref, smem, sem,
 
 def _zbuf_call(packed, tile_start, tile_count, *, num_tiles, ch, tiles_x,
                interpret):
-    kernel = functools.partial(_zbuf_kernel, ch=ch, tiles_x=tiles_x)
+    kernel = functools.partial(_zbuf_kernel, ch=ch, tiles_x=tiles_x,
+                               static_unroll=not interpret)
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(

@@ -190,23 +190,21 @@ class Trainer:
         self._resolve_expand()
 
     def _resolve_expand(self):
-        """Resolve ``expand='auto'`` from the host-known ALIVE count.
+        """Resolve ``expand='auto'`` to the run-length scatter expansion.
 
-        ``rasterize``'s own static fallback can only see the capacity-PADDED
-        array size, which misclassifies a small scene padded to >= 2^20 as
-        garden-regime: the dense capped expansion would then both pay an
-        N*dense_cap sort domain AND silently drop every instance beyond
-        ``dense_cap`` tiles. The trainer knows the true alive count between
-        steps and picks the mode from it (the diff-scatter expansion is
-        O(padded N) serial, but correctness beats the scatter cost for
-        mid-size scenes; at >= 2^20 truly-alive gaussians splats are tiny and
-        the dense cap genuinely covers demand)."""
+        Historical context: dense mode existed because the old multi-column
+        diff-scatter expansion serialized at O(N) rows (~220 ms at 5M
+        gaussians). The round-5 expansion (single-column owner scatter +
+        row gather, ops/binning._expand_rows) removed that wall, and the
+        scatter mode's smaller sort domain beats dense even at garden scale
+        (tools/bench_garden.py --seqscatter: fwd 324 vs 420 ms at
+        5M/1080p) — while also never dropping instances at a dense_cap.
+        Dense remains an explicit opt-in."""
         if not self._expand_auto:
             return False
-        alive = int(jnp.sum(self.ts.gstate.alive))
-        want = "dense" if alive >= (1 << 20) else "scatter"
-        if self.settings.expand != want:
-            self.settings = dataclasses.replace(self.settings, expand=want)
+        if self.settings.expand != "scatter":
+            self.settings = dataclasses.replace(self.settings,
+                                                expand="scatter")
             return True
         return False
 

@@ -100,6 +100,91 @@ def plot_feature_distributions(features: np.ndarray, iteration: int,
     return paths
 
 
+def plot_density(features: np.ndarray, iteration: int, model_path: str):
+    """Density histogram with a normal-fit overlay (reference :101-113:
+    the density panel of create_feature_visualizations)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    features = np.asarray(features).reshape(-1)
+    d = _outdir(model_path)
+    fig, ax = plt.subplots(figsize=(6, 4))
+    if features.size:
+        ax.hist(features, bins=100, density=True, alpha=0.7,
+                color="lightgreen", edgecolor="black")
+        mu, sigma = float(features.mean()), float(features.std())
+        if sigma > 0:
+            x = np.linspace(features.min(), features.max(), 100)
+            y = np.exp(-0.5 * ((x - mu) / sigma) ** 2) / (
+                sigma * np.sqrt(2 * np.pi))
+            ax.plot(x, y, "r-", linewidth=2,
+                    label=f"Normal fit (mu={mu:.3f}, sigma={sigma:.3f})")
+            ax.legend()
+    ax.set_title(f"Feature Values Density @ iter {iteration}")
+    ax.set_xlabel("Feature Value")
+    ax.set_ylabel("Density")
+    ax.grid(True, alpha=0.3)
+    p = os.path.join(d, f"density_iter_{iteration}.png")
+    fig.savefig(p, dpi=100)
+    plt.close(fig)
+    return p
+
+
+def plot_64d_analysis(features: np.ndarray, iteration: int, model_path: str,
+                      sample: int = 1000, seed: int = 0):
+    """64-d heatmap + per-dimension variance + detailed stats txt
+    (reference create_64d_feature_analysis, :275-332)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    features = np.asarray(features)
+    if features.ndim != 2 or features.shape[0] == 0:
+        return None
+    d = _outdir(model_path)
+    if features.shape[0] > sample:
+        idx = np.random.default_rng(seed).choice(
+            features.shape[0], sample, replace=False)
+        fs = features[idx]
+    else:
+        fs = features
+
+    fig, axes = plt.subplots(1, 2, figsize=(14, 6))
+    im = axes[0].imshow(fs.T, aspect="auto", cmap="viridis")
+    fig.colorbar(im, ax=axes[0])
+    axes[0].set_title(f"64D Feature Values Heatmap (iter {iteration})")
+    axes[0].set_xlabel("Gaussian Point Index")
+    axes[0].set_ylabel("Feature Dimension")
+    fvar = np.var(features, axis=0)
+    axes[1].bar(range(features.shape[1]), fvar, alpha=0.7, color="coral")
+    axes[1].set_title(f"Feature Variance by Dimension (iter {iteration})")
+    axes[1].set_xlabel("Feature Dimension")
+    axes[1].set_ylabel("Variance")
+    axes[1].grid(True, alpha=0.3)
+    fig.tight_layout()
+    p = os.path.join(d, f"64d_feature_analysis_iter_{iteration}.png")
+    fig.savefig(p, dpi=100)
+    plt.close(fig)
+
+    stats_path = os.path.join(d, f"64d_detailed_stats_iter_{iteration}.txt")
+    with open(stats_path, "w") as f:
+        f.write(f"64D Feature Detailed Statistics - Iteration {iteration}\n")
+        f.write("=" * 60 + "\n")
+        for i in range(features.shape[1]):
+            col = features[:, i]
+            f.write(f"Dimension {i:2d}: mean={col.mean():.6f}, "
+                    f"std={col.std():.6f}, min={col.min():.6f}, "
+                    f"max={col.max():.6f}\n")
+        f.write("\n" + "=" * 60 + "\n")
+        f.write("Summary Statistics:\n")
+        f.write(f"Most variable dimension: {int(np.argmax(fvar))}\n")
+        f.write(f"Least variable dimension: {int(np.argmin(fvar))}\n")
+        f.write(f"Average variance: {float(np.mean(fvar)):.6f}\n")
+        f.write(f"Variance of variances: {float(np.var(fvar)):.6f}\n")
+    return p
+
+
 def plot_history_trends(model_path: str):
     """Trend plots from the CSV history (reference :197-273)."""
     import matplotlib

@@ -309,6 +309,13 @@ def test_tight_culling_image_and_grad_exact():
                                    packed_capacity=(1 << 14) + (1 << 13))
 
     def run(settings):
+        # grad_reduce="scatter" on both sides: the property under test is
+        # the CULL's exactness; the sort-form reduction's cumsum-difference
+        # cancellation noise (gated elsewhere) would otherwise dominate the
+        # comparison for near-zero gradients.
+        import dataclasses as _dc
+        settings = _dc.replace(settings, grad_reduce="scatter")
+
         def loss_fn(m, s, r, o, sh):
             out = rast.rasterize(m, s, r, o, sh, 1, cam, jnp.zeros(3),
                                  settings)

@@ -134,6 +134,12 @@ def test_feature_analysis_outputs(tmp_path):
     assert all(os.path.exists(x) for x in plots)
     trend = feature_analysis.plot_history_trends(str(tmp_path))
     assert trend and os.path.exists(trend)
+    dens = feature_analysis.plot_density(feats, 5, str(tmp_path))
+    assert dens and os.path.exists(dens)
+    p64 = feature_analysis.plot_64d_analysis(feats, 5, str(tmp_path))
+    assert p64 and os.path.exists(p64)
+    assert os.path.exists(os.path.join(
+        str(tmp_path), "feature_analysis", "64d_detailed_stats_iter_5.txt"))
 
 
 def test_distributed_single_process():

@@ -49,7 +49,17 @@ def main():
         scaling=params.scaling - 2.2)   # log-space: ~9x smaller splats
     alive = state.alive
 
-    if scatter:
+    seqscatter = "--seqscatter" in sys.argv
+    if seqscatter:
+        # seq kernels + run-length expansion (owner-gid F=1 scatter + row
+        # gather, ops/binning._expand_rows): the expansion costs O(N) but
+        # the sort domain is the true instance capacity (2^23) instead of
+        # the dense layout's n*dense_cap (2^25 after pow2 padding) — the
+        # [tile|depth] sort is ~70% of the dense-mode forward at 5M.
+        probe = rast.make_settings(
+            "seq", capacity=1 << 24, max_per_tile=8192, fast_sort=True,
+            tight_culling=True, precise_cull=False, expand="scatter")
+    elif scatter:
         probe = rast.RasterizeSettings(
             capacity=1 << 24, max_per_tile=4096, chunk=128, backend="pallas",
             fast_sort=True, tight_culling=True, precise_cull=True)
@@ -72,7 +82,11 @@ def main():
     culled = int(out["culled"])
     cap = 1 << max(int(nr * 1.15).bit_length(), 1)
     kcap = ((int(ademand * 1.05) // (1 << 17)) + 1) * (1 << 17)
-    if scatter:
+    if seqscatter:
+        import dataclasses
+        settings = dataclasses.replace(probe, capacity=cap,
+                                       packed_capacity=kcap)
+    elif scatter:
         settings = rast.RasterizeSettings(
             capacity=cap, max_per_tile=4096, chunk=128, backend="pallas",
             fast_sort=True, tight_culling=True, precise_cull=True,

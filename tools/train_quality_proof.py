@@ -38,6 +38,11 @@ def main():
     ap.add_argument("--init_points", type=int, default=10000)
     ap.add_argument("--skip_gen", action="store_true")
     ap.add_argument("--backend", default="seq")
+    ap.add_argument("--fast_sort", action="store_true",
+                    help="packed [tile|depth] sort key — the driver bench's "
+                         "configuration (sub-1e-3 image deviation); run the "
+                         "proof with this so the perf number and the "
+                         "quality number describe the same code path")
     args = ap.parse_args()
 
     if not args.skip_gen and not os.path.exists(
@@ -60,7 +65,7 @@ def main():
         "--save_iterations", str(args.iters),
         "--steps_per_call", "10",
         "--backend", args.backend,
-    ]
+    ] + (["--fast_sort"] if args.fast_sort else [])
     proc = subprocess.run(cmd, capture_output=True, text=True)
     wall = time.time() - t0
     sys.stdout.write(proc.stdout[-4000:])
@@ -90,6 +95,7 @@ def main():
         },
         "schedule": "reference defaults (SH warmup 1k, densify 500..15000 "
                     "every 100, opacity reset 3000)",
+        "fast_sort": args.fast_sort,
         "iterations": args.iters,
         "wall_clock_s": round(wall, 1),
         "test_psnr": rows,

@@ -148,10 +148,18 @@ def main():
                 dataset.model_path, sw=args.sw)
         if args.analysis_interval and iteration % args.analysis_interval == 0:
             trainer.sync_model()
+            feats = np.asarray(gaussians.params.features)[
+                np.asarray(gaussians.state.alive)]
             feature_analysis.analyze_gaussian_features(
-                np.asarray(gaussians.params.features)[
-                    np.asarray(gaussians.state.alive)],
-                iteration, dataset.model_path)
+                feats, iteration, dataset.model_path)
+            # full reference plot set (utils/feature_analysis.py:57-138,
+            # 275-332): distributions + density + 64-d heatmap/variance
+            feature_analysis.plot_feature_distributions(
+                feats, iteration, dataset.model_path)
+            feature_analysis.plot_density(feats, iteration,
+                                          dataset.model_path)
+            feature_analysis.plot_64d_analysis(feats, iteration,
+                                               dataset.model_path)
 
         if iteration in args.test_iterations:
             # Milestone held-out evaluation (reference trainn.py:161,213-243).
