@@ -80,7 +80,14 @@ def main():
         # splats) and training flatlined at 9 dB; budget starvation shows up
         # as flat loss, so watch the dropped monitor, not just PSNR.
         "--expand", "scatter",
-        "--max_per_tile", "16384",
+        # 64k: the round-5 garden run measured per-tile loads past 16384
+        # (kNN init on a 1M near-duplicate cloud makes a few giant splats
+        # that stack thousands of layers on central tiles); the 16384 cap
+        # dropped ~1.7M of 2.78M instances and test PSNR DECLINED while
+        # train loss improved — optimization against a render that is
+        # missing contributors. Deep tiles cost kernel time, not
+        # correctness.
+        "--max_per_tile", "65536",
     ]
     proc = subprocess.run(cmd, capture_output=True, text=True)
     wall = time.time() - t0
