@@ -88,6 +88,11 @@ def main():
         # missing contributors. Deep tiles cost kernel time, not
         # correctness.
         "--max_per_tile", "65536",
+        # densify every 100 spikes instance demand; at the default 500-iter
+        # tune cadence the packed buffers lag the spike and instances drop
+        # for up to 400 iterations (measured: ~1M drops/step persisted and
+        # test PSNR declined while train loss improved)
+        "--tune_interval", "100",
     ]
     proc = subprocess.run(cmd, capture_output=True, text=True)
     wall = time.time() - t0

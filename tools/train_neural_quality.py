@@ -34,9 +34,15 @@ def main():
     ap.add_argument("--start_ply", default=None)
     ap.add_argument("--iters", type=int, default=3000)
     ap.add_argument("--sw", type=int, default=2)
+    ap.add_argument("--feature_lr", type=float, default=None,
+                    help="A/B knob (reference default 0.0025)")
+    ap.add_argument("--mixed_precision", action="store_true",
+                    help="bf16 decoders (A/B vs f32)")
     args = ap.parse_args()
 
-    milestones = sorted({500, 1000, 2000, args.iters})
+    milestones = sorted({500, 1000, 2000, 3000, 5000,
+                         args.iters // 2, args.iters}
+                        - {0})
     t0 = time.time()
     cmd = [
         sys.executable, os.path.join(ROOT, "trainn.py"),
@@ -48,6 +54,10 @@ def main():
         "--video_interval", "0", "--analysis_interval", "1000",
         "--show_interval", "0",
     ]
+    if args.feature_lr is not None:
+        cmd += ["--feature_lr", str(args.feature_lr)]
+    if args.mixed_precision:
+        cmd += ["--mixed_precision"]
     if args.start_ply:
         cmd += ["--start_ply", args.start_ply]
     proc = subprocess.run(cmd, capture_output=True, text=True)

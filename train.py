@@ -165,6 +165,13 @@ def main():
     parser.add_argument("--model_capacity", type=int, default=None,
                         help="Gaussian slot capacity (default: point count)")
     parser.add_argument("--disable_viewer", action="store_true")
+    parser.add_argument("--tune_interval", type=int, default=500,
+                        help="iterations between instance-capacity "
+                             "re-bucketing checks (and drop-monitor reads). "
+                             "Align with --densification_interval on "
+                             "fast-growing scenes: demand spikes right "
+                             "after densify, and instances drop until the "
+                             "next tune point re-buckets the buffers")
     parser.add_argument("--steps_per_call", type=int, default=1,
                         help="iterations fused into one device dispatch "
                              "(lax.scan); pick a divisor of "
@@ -258,7 +265,8 @@ def main():
     trainer = loop.Trainer(
         gaussians=gaussians, opt=opt, settings=settings,
         white_background=dataset.white_background,
-        cameras_extent=scene.cameras_extent)
+        cameras_extent=scene.cameras_extent,
+        tune_interval=args.tune_interval)
 
     first_iter = 0
     if args.start_checkpoint:
