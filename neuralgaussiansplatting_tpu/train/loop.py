@@ -231,9 +231,13 @@ class Trainer:
             print(f"[warn] {dropped} instances dropped "
                   f"(num_rendered={int(metrics['num_rendered'])}, "
                   f"aligned_demand={int(metrics['aligned_demand'])}, "
-                  f"capacity={self.settings.capacity}); rendered image is "
-                  f"missing contributors — raise capacity/max_per_tile or "
-                  f"check init splat sizes")
+                  f"capacity={self.settings.capacity}, "
+                  f"packed={self.settings.packed_capacity}); rendered image "
+                  f"is missing contributors. On densifying scenes the usual "
+                  f"cause is buffer re-bucketing LAGGING demand spikes — "
+                  f"set tune_interval to the densification interval; "
+                  f"otherwise raise capacity/max_per_tile or check init "
+                  f"splat sizes")
 
     def sync_model(self):
         """Reflect device state back into the GaussianModel wrapper."""
