@@ -366,8 +366,12 @@ def main():
         if metrics is not None and iteration % 50 < spc:
             ema_loss = 0.4 * float(metrics["loss"]) + 0.6 * ema_loss
             progress.set_postfix({"Loss": f"{ema_loss:.7f}"})
+        # trainer.settings, NOT the startup settings: the autotune re-buckets
+        # capacities to demand; evaluating with the startup buffers truncated
+        # garden-scale renders (~2.7M instances vs the 2^20 default) and
+        # reported a declining PSNR on a healthily-converging model
         training_report(tb_writer, iteration, metrics or {}, trainer, scene,
-                        settings, set(args.test_iterations))
+                        trainer.settings, set(args.test_iterations))
         if iteration in args.save_iterations:
             # reference saves pre-densification too (train.py:108-110)
             print(f"\n[ITER {iteration}] Saving Gaussians")
